@@ -1,0 +1,79 @@
+"""Deterministic embeddings + masked-softmax disambiguation math.
+
+The reference scores each mention against ≤K candidate entities with a
+dot product between a context encoding and entity encodings, masked
+log-softmax over K, argmax (bootleg/tasks/ned_task.py:25-46,
+bootleg/utils/eval_utils.py:32-56). The encoders are BERT biencoders;
+torch/transformers are not available here, so encodings are
+deterministic feature-hashed bag-of-token vectors — the *dataflow*
+(static entity-embedding matrix broadcast + vectorized batch scoring,
+bootleg/layers/static_entity_embeddings.py:10-36) is identical, and a
+real ONNX/torch encoder slots into ``featurize_texts`` without touching
+any Spark plan.
+
+All hashing is md5-based (process-stable; Python's ``hash`` is salted).
+Everything here is pure numpy over batches — called from Arrow-batched
+pandas UDFs only, never per-row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+NC_EID = 0  # "not in candidates" row (entity_symbols.py:43-45)
+PAD_EID = 1  # padding row (eval_utils.py:90-114 maps "-1" -> 1)
+
+
+def token_hash(token: str) -> tuple[int, int]:
+    """(bucket_seed, sign_bit) for a token — md5-stable across processes."""
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big"), h[4] & 1
+
+
+def featurize_tokens(tokens: list[str], dim: int) -> np.ndarray:
+    """Feature-hashed bag-of-tokens vector, L2-normalized."""
+    v = np.zeros(dim, dtype=np.float64)
+    for t in tokens:
+        b, s = token_hash(t)
+        v[b % dim] += 1.0 if s else -1.0
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return v
+
+
+def featurize_texts(texts: list[str], dim: int) -> np.ndarray:
+    """Batch featurizer (rows = texts). Whitespace tokenization."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if t:
+            out[i] = featurize_tokens(t.split(), dim)
+    return out
+
+
+def masked_class_logsoftmax(pred: np.ndarray, mask: np.ndarray, temp: float = 1.0) -> np.ndarray:
+    """Masked log-softmax over the last axis (eval_utils.py:32-56 semantics:
+    ``log_softmax(pred/temp + log(mask + 1e-45))``)."""
+    assert temp > 0
+    x = pred / temp + np.log(mask.astype(np.float64) + 1e-45)
+    x = x - x.max(axis=-1, keepdims=True)
+    ex = np.exp(x)
+    return x - np.log(ex.sum(axis=-1, keepdims=True))
+
+
+def score_batch(
+    ctx: np.ndarray, ent: np.ndarray, mask: np.ndarray, temp: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched disambiguation: probs (B,K) and argmax indices (B,).
+
+    ``ctx`` (B,D), ``ent`` (B,K,D), ``mask`` (B,K) True=valid candidate.
+    Mirrors ``disambig_output`` (ned_task.py:25-46): dot products →
+    masked log-softmax → exp; argmax takes the first max (numpy
+    semantics, same as the reference's torch argmax on ties).
+    """
+    pred = np.einsum("bd,bkd->bk", ctx, ent)
+    probs = np.exp(masked_class_logsoftmax(pred, mask, temp))
+    probs = probs * mask  # zero out padded candidates exactly
+    return probs, probs.argmax(axis=-1)

@@ -1,0 +1,191 @@
+"""Document deduplication for training-data pipelines.
+
+Beyond the reference's operator set (Bootleg has only a train-time
+in-batch candidate dedup, bootleg/data.py:309-351, and a triple dedup
+need from the north_rule); these are the ops a 100 TB web-corpus
+pipeline runs before training:
+
+- exact dedup (content-hash groupBy),
+- MinHash + LSH banding (shingle → per-band min-hash → bucket join),
+- word-n-gram Jaccard verification,
+- SimHash near-dup signatures.
+
+Design for scale: shingling stays JVM-side (sequence/transform, no
+Python); candidate pairs come from equi-joins on selective keys
+(band buckets / shingles), never a cross join; all pair joins are
+shuffle joins with AQE skew splitting; md5-based hashes keep Spark and
+the DuckDB oracle bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: (content_hash, keep_id, dup_count). keep_id = min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc — pure JVM expressions."""
+    w = docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w"))
+    shingled = w.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN transform(sequence(0, size(w) - {n}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {n}))) ELSE array() END"
+            )
+        ).alias("shingle"),
+    )
+    return shingled.where(F.length("shingle") > 0).distinct()
+
+
+def _doc_sizes(shingles: DataFrame) -> DataFrame:
+    return shingles.groupBy("id").agg(F.count("*").cast("long").alias("n_shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    shingle equi-join → per-pair intersection count → sizes join →
+    |A∩B| / (|A|+|B|-|A∩B|). The shuffle key is the shingle; frequent
+    shingles are the skew risk (AQE skew-join splits them)."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = _doc_sizes(sh)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, band) MinHash bucket keys.
+
+    Each band b hashes every shingle with md5(b || ':' || shingle) and
+    keeps the minimum — b independent min-hashes. Docs sharing a
+    (band, min_hash) bucket are near-dup candidates with probability
+    rising in their Jaccard similarity (standard LSH banding). md5-hex
+    min is an order statistic on strings → identical in any engine.
+    """
+    sh = word_shingles(docs, shingle_n, text_col, id_col)
+    bands = sh.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+        "shingle",
+    )
+    hashed = bands.withColumn(
+        "h", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
+    )
+    return hashed.groupBy("id", "band").agg(F.min("h").alias("min_hash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    buckets = minhash_band_buckets(docs, n_bands, shingle_n, text_col, id_col)
+    a = buckets.select(F.col("id").alias("id_a"), "band", "min_hash")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "min_hash")
+    return (
+        a.join(b, ["band", "min_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc (Charikar): sign of the weighted sum of
+    token-hash bit vectors. md5-based bits; Arrow-batched UDF (the
+    bit-vote accumulation has no good built-in expression)."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = [0] * bits
+            for tok in (t or "").split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for i in range(bits):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+            sig = 0
+            for i in range(bits):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            # to signed 64-bit
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, band_bits: int = 16, **kw) -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash band (standard 4-band
+    trick ⇒ catches all pairs within Hamming distance 3)."""
+    sig = simhash_signatures(docs, **kw)
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(64 // band_bits)])).alias("band"),
+        "simhash",
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftrightunsigned(simhash, band * {band_bits})").bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        ),
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

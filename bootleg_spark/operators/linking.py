@@ -1,0 +1,204 @@
+"""Entity linking: pick one QID per mention.
+
+Two scorers, both emitting (.., qid_pred, prob):
+
+- :func:`link_popularity` — the reference's popularity baseline
+  (``acc_pop``, bootleg/scorer.py:81-102): top-ranked candidate wins.
+  Pure relational → SQL-oracle-checkable.
+
+- :func:`link_neural` — the biencoder-shaped scorer: per mention,
+  context window (dataset.py:173-224) is encoded and dot-producted
+  against the K candidates' static entity embeddings, masked softmax,
+  argmax + threshold (ned_task.py:25-46, bootleg_annotator.py:538-625).
+  Runs as ONE Arrow-batched pandas UDF with the entity-embedding matrix
+  broadcast (static_entity_embeddings.py:10-36 fast path) — per-mention
+  compute is embarrassingly parallel, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bootleg_spark import synthspec as S
+from bootleg_spark.functions.embedding import featurize_texts, score_batch
+from bootleg_spark.functions.textproc import (
+    EntityStringConstants,
+    build_entity_string,
+    extract_context,
+)
+
+
+def link_popularity(mention_cands: DataFrame) -> DataFrame:
+    """Top-ranked candidate per mention (rank-1 slot of the padded arrays)."""
+    return mention_cands.withColumn("qid_pred", F.element_at("cand_qids", 1)).where(
+        F.col("qid_pred") != "-1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity strings + static embeddings (one-time dim job)
+# ---------------------------------------------------------------------------
+
+def entity_strings(entities: DataFrame, kg_rel: DataFrame) -> DataFrame:
+    """(qid, eid, ent_str): the textual entity representation
+    "title [ent_type] t [ent_kg] rel tail_title .. [ent_desc] desc"
+    (dataset.py:251-337), built relationally + a vectorized UDF for the
+    budget-truncation loop.
+
+    KG items are "rel tail_title" in (rel, obj_qnum) order — the
+    reference iterates its relation dict in insertion order
+    (dataset.py:285-295); we fix a deterministic order instead.
+    """
+    titles = entities.select(F.col("qid").alias("obj_qid"), F.col("title").alias("obj_title"))
+    kg_items = (
+        kg_rel.join(F.broadcast(titles), "obj_qid")
+        .groupBy(F.col("subj_qid").alias("qid"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rel", "obj_qnum", "obj_title"))
+            ).alias("kg")
+        )
+        .select(
+            "qid",
+            F.transform("kg", lambda x: F.concat(x["rel"], F.lit(" "), x["obj_title"])).alias(
+                "kg_items"
+            ),
+        )
+    )
+    consts = EntityStringConstants(
+        max_ent_kg_len=S.MAX_ENT_KG_LEN, max_ent_type_len=S.MAX_ENT_TYPE_LEN
+    )
+
+    @F.pandas_udf(StringType())
+    def _ent_str(
+        title: pd.Series, descr: pd.Series, type_name: pd.Series, kg: pd.Series
+    ) -> pd.Series:
+        out = []
+        for t, d, ty, k in zip(title, descr, type_name, kg):
+            items = list(k) if k is not None else []
+            s, _, _, _ = build_entity_string(t or "", d, [ty] if ty else [], items, consts)
+            out.append(s)
+        return pd.Series(out)
+
+    joined = entities.join(F.broadcast(kg_items), "qid", "left").withColumn(
+        "kg_items", F.coalesce("kg_items", F.array())
+    )
+    return joined.select(
+        "qid",
+        "eid",
+        "alias",
+        _ent_str("title", "descr", "type_name", "kg_items").alias("ent_str"),
+    )
+
+
+def build_entity_embeddings(
+    ent_strs: DataFrame, dim: int = S.EMB_DIM
+) -> DataFrame:
+    """(qid, eid, emb array<double>): feature-hashed entity encodings —
+    the Spark analogue of extract_all_entities.py:136-211 (one-time
+    forward pass over all entities producing the static matrix)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        mat = featurize_texts([t or "" for t in texts], dim)
+        return pd.Series(list(mat))
+
+    return ent_strs.select("qid", "eid", _embed("ent_str").alias("emb"))
+
+
+def broadcast_entity_matrix(spark: SparkSession, emb_df: DataFrame):
+    """Collect the (small-dim) embedding table and broadcast it as
+    (qid→row, matrix) — the reference mmaps this across pool workers
+    (static_entity_embeddings.py:10-36); broadcast is Spark's equivalent.
+    At 5.8M × 64 float32 (~1.5 GB) this still broadcasts; beyond that,
+    ship the matrix via ``spark-submit --files`` + executor-local mmap.
+    """
+    rows = emb_df.select("qid", "emb").collect()
+    qid2row = {r["qid"]: i for i, r in enumerate(rows)}
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    return spark.sparkContext.broadcast((qid2row, mat))
+
+
+# ---------------------------------------------------------------------------
+# Neural scoring UDF
+# ---------------------------------------------------------------------------
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("qid_pred", StringType()),
+        StructField("prob", DoubleType()),
+        StructField("cand_probs", ArrayType(DoubleType())),
+    ]
+)
+
+
+def link_neural(
+    mention_cands: DataFrame,
+    ent_matrix_bc,
+    text_col: str = "text",
+    dim: int = S.EMB_DIM,
+    max_seq_window_len: int = S.MAX_SEQ_WINDOW_LEN,
+    threshold: float = S.PROB_THRESHOLD,
+) -> DataFrame:
+    """Score candidates with the broadcast static entity matrix.
+
+    Input needs (text, char_start, char_end, cand_qids). Entire batch is
+    vectorized: context featurization + einsum dot + masked softmax
+    (score_batch). Mentions whose top prob ≤ threshold are dropped
+    (bootleg_annotator.py:602-625).
+    """
+
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def _score(
+        text: pd.Series, cs: pd.Series, ce: pd.Series, cand_qids: pd.Series
+    ) -> pd.DataFrame:
+        qid2row, mat = ent_matrix_bc.value
+        n = len(text)
+        if n == 0:
+            return pd.DataFrame({"qid_pred": [], "prob": [], "cand_probs": []})
+        contexts = [
+            extract_context((int(a), int(b)), t or "", max_seq_window_len)
+            for t, a, b in zip(text, cs, ce)
+        ]
+        ctx = featurize_texts(contexts, dim)
+        k = max(len(c) for c in cand_qids)
+        ent = np.zeros((n, k, dim), dtype=np.float64)
+        mask = np.zeros((n, k), dtype=bool)
+        qlists = []
+        for i, cands in enumerate(cand_qids):
+            cands = list(cands)
+            qlists.append(cands)
+            for j, q in enumerate(cands):
+                row = qid2row.get(q)
+                if row is not None:
+                    ent[i, j] = mat[row]
+                    mask[i, j] = True
+        probs, arg = score_batch(ctx, ent, mask)
+        qid_pred = [qlists[i][arg[i]] if mask[i].any() else "-1" for i in range(n)]
+        top = probs[np.arange(n), arg]
+        return pd.DataFrame(
+            {
+                "qid_pred": qid_pred,
+                "prob": top,
+                "cand_probs": [probs[i, : len(qlists[i])].tolist() for i in range(n)],
+            }
+        )
+
+    scored = mention_cands.withColumn(
+        "_s", _score(F.col(text_col), F.col("char_start"), F.col("char_end"), F.col("cand_qids"))
+    )
+    return (
+        scored.select("*", "_s.qid_pred", "_s.prob", "_s.cand_probs")
+        .drop("_s")
+        .where((F.col("qid_pred") != "-1") & (F.col("prob") > F.lit(threshold)))
+    )

@@ -1,0 +1,226 @@
+"""Mention extraction.
+
+Two extractors, mirroring the reference's pluggable
+``MENTION_EXTRACTOR_OPTIONS`` (bootleg/end2end/extract_mentions.py:27-30):
+
+- :func:`extract_mentions_ngram` — full Bootleg semantics
+  (bootleg/utils/mention_extractor_utils.py:110-204): longest-first
+  n-gram search against the alias dictionary with noun-phrase /
+  split-noun / stopword-boundary / numeric filters, plural-variant
+  lookups, greedy overlap suppression, span-sorted output. Runs as an
+  Arrow-batched pandas UDF with the alias set broadcast. The reference
+  derives noun-ness from spaCy POS tags; spaCy is not available in this
+  environment, so noun-ness is the deterministic POS-free heuristic
+  "not a stopword, not punctuation, not numeric" (risk + fallback noted
+  in SURVEY.md §7.4). On the reference's own annotator fixture this
+  reproduces the golden output (tests/test_end_to_end/
+  test_annotator.py:66-80): see tests/test_mentions.py.
+
+- :func:`extract_mentions_word` — pure-relational single-token matcher
+  (posexplode + lnrm + broadcast semi-join). Fully expressible in ANSI
+  SQL, so it anchors the DuckDB oracle for every downstream relational
+  stage. It is also the 100-TB fast path when the alias dictionary is
+  single-token: no Python at all, whole-stage codegen end to end.
+
+Both emit one row per mention: (input columns.., mention_pos, alias,
+char_start, char_end).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bootleg_spark.functions.lnrm import lnrm, lnrm_ascii_col
+from bootleg_spark.functions.textproc import PUNC, STOP_WORDS, _PUNC_TABLE
+
+_MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("alias", StringType()),
+            StructField("char_start", IntegerType()),
+            StructField("char_end", IntegerType()),
+        ]
+    )
+)
+
+_RE_TOKEN = re.compile(r"\S+")
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int]]:
+    """Whitespace tokens with char offsets, peeling boundary punctuation
+    into separate tokens (deterministic stand-in for spaCy's tokenizer;
+    the reference reads ``token.idx`` per spaCy token,
+    mention_extractor_utils.py:118-120)."""
+    out: list[tuple[str, int]] = []
+    for m in _RE_TOKEN.finditer(text):
+        chunk, idx = m.group(), m.start()
+        # peel leading punctuation
+        while chunk and chunk[0] in PUNC:
+            out.append((chunk[0], idx))
+            chunk, idx = chunk[1:], idx + 1
+        # peel trailing punctuation; split possessive "'s" into its own
+        # token like spaCy does (tagged PART there → non-noun here)
+        tail: list[tuple[str, int]] = []
+        while chunk and chunk[-1] in PUNC and not chunk.endswith("'s"):
+            tail.append((chunk[-1], idx + len(chunk) - 1))
+            chunk = chunk[:-1]
+        if chunk.endswith("'s") and len(chunk) > 2:
+            tail.append(("'s", idx + len(chunk) - 2))
+            chunk = chunk[:-2]
+        if chunk:
+            out.append((chunk, idx))
+        out.extend(reversed(tail))
+    return out
+
+
+def _pos_keep(tok: str) -> bool:
+    """POS-free noun-ness heuristic (replaces spaCy KEEP_POS={PROPN,NOUN},
+    mention_extractor_utils.py:36)."""
+    t = tok.lower()
+    if t in STOP_WORDS or t in PUNC or t in ("s", "'s"):
+        return False
+    n = lnrm(t)
+    return bool(n) and not n.isnumeric()
+
+
+def ngram_extract_aliases(
+    text: str,
+    all_aliases,
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+) -> list[tuple[str, int, int]]:
+    """Pure-Python n-gram mention extractor.
+
+    Returns [(alias, char_start, char_end)] sorted by span, reproducing
+    ``ngram_spacy_extract_aliases`` (mention_extractor_utils.py:138-204)
+    with the POS-free noun heuristic.
+    """
+    toks = tokenize_with_offsets(text)
+    if not toks:
+        return []
+    keep = [_pos_keep(t) for t, _ in toks]
+    used: list[tuple[str, int, int]] = []
+    n_toks = len(toks)
+    for n in range(max_alias_len, min_alias_len - 1, -1):
+        for start in range(0, n_toks - n + 1):
+            gram = toks[start : start + n]
+            start_char = gram[0][1]
+            end_char = gram[-1][1] + len(gram[-1][0])
+            gram_keep = keep[start : start + n]
+            # is_noun_phrase (mention_extractor_utils.py:54-59)
+            if not any(gram_keep):
+                continue
+            # is_split_noun (:62-80): noun continues left or right
+            if start > 0 and gram_keep[0] and keep[start - 1]:
+                continue
+            if start + n < n_toks and gram_keep[-1] and keep[start + n]:
+                continue
+            # bounded_by_stopword (:83-100)
+            first_t, last_t = gram[0][0], gram[-1][0]
+            is_important = first_t[0].isupper() or start == 0
+            if first_t.lower() in ("s", "'s") or last_t.lower() in ("s", "'s"):
+                continue
+            if not is_important and (first_t.lower() in STOP_WORDS or first_t.lower() in PUNC):
+                continue
+            if last_t.lower() in STOP_WORDS or last_t.lower() in PUNC:
+                continue
+            # is_numeric (:103-107)
+            joined = " ".join(t for t, _ in gram)
+            if lnrm(joined).isnumeric():
+                continue
+            # alias-dict lookup with plural/punct variants (:160-178)
+            final = None
+            g1 = lnrm(joined)
+            if g1 in all_aliases:
+                final = g1
+            else:
+                g2 = lnrm(joined.replace(" 's", "'s"))
+                if g2 in all_aliases:
+                    final = g2
+                else:
+                    g3 = lnrm(joined.replace("'s", ""))
+                    if g3 in all_aliases:
+                        final = g3
+                    else:
+                        g4 = lnrm(g3.translate(_PUNC_TABLE))
+                        if g4 in all_aliases:
+                            final = g4
+            if final is None:
+                continue
+            # greedy overlap suppression, longest-first wins (:180-196)
+            if any(start_char < ue and end_char > us for _, us, ue in used):
+                continue
+            used.append((final, start_char, end_char))
+    return sorted(used, key=lambda e: (e[1], e[2]))
+
+
+def extract_mentions_ngram(
+    df: DataFrame,
+    alias_set_bc,
+    text_col: str = "text",
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+) -> DataFrame:
+    """Explode each row into mention rows via the n-gram extractor.
+
+    ``alias_set_bc`` is a ``sc.broadcast``-ed frozenset of lnrm aliases —
+    Spark's shared read-only memory, replacing the reference's mmap'd
+    marisa trie shared across pool workers (extract_mentions.py:130).
+    """
+
+    @F.pandas_udf(_MENTION_SCHEMA)
+    def _extract(texts: pd.Series) -> pd.Series:
+        aliases = alias_set_bc.value
+        return texts.map(
+            lambda t: []
+            if t is None
+            else [
+                {"alias": a, "char_start": s, "char_end": e}
+                for a, s, e in ngram_extract_aliases(t, aliases, min_alias_len, max_alias_len)
+            ]
+        )
+
+    exploded = df.select(
+        "*", F.posexplode(_extract(F.col(text_col))).alias("mention_pos", "_m")
+    )
+    return exploded.select(
+        *df.columns,
+        F.col("mention_pos").cast("int"),
+        F.col("_m.alias").alias("alias"),
+        F.col("_m.char_start").alias("char_start"),
+        F.col("_m.char_end").alias("char_end"),
+    )
+
+
+def extract_mentions_word(
+    df: DataFrame,
+    alias_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational single-token mention extraction.
+
+    posexplode(split(text)) → lnrm → broadcast semi-join with the alias
+    dimension. Stays entirely inside whole-stage codegen: the scan's
+    split/explode, the lnrm regexes, and the broadcast hash join all run
+    JVM-side — this is the shape that survives 100 TB.
+    """
+    words = df.select(
+        "*", F.posexplode(F.split(F.col(text_col), " ")).alias("mention_pos", "_word")
+    )
+    normed = words.withColumn("alias", lnrm_ascii_col(F.col("_word")))
+    return (
+        normed.join(F.broadcast(alias_df.select("alias")), "alias", "inner")
+        .where(F.length("alias") > 0)
+        .select(*df.columns, "mention_pos", "alias")
+    )

@@ -1,0 +1,108 @@
+"""Aggregation operators (reference SURVEY.md §2.4):
+
+- QID popularity counts (get_train_qid_counts.py:38-61)
+- entity/alias histograms (scripts compute_statistics.py:109-195)
+- candidate-count histogram (compute_statistics.py:57-66)
+- quantile bucketing of QID counts (dataset.py:484-490,552-555)
+- sliced accuracy scorer (bootleg/scorer.py:47-126)
+- recall@k (cand_gen/eval.py:309-370)
+
+Every hand-rolled Counter + multiprocessing merge in the reference is a
+single groupBy here — Spark's partial aggregation (map-side combine) is
+exactly the reference's per-worker-Counter-then-merge pattern, done by
+the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def qid_counts(linked: DataFrame, qid_col: str = "qid") -> DataFrame:
+    """(qid, cnt): entity popularity over linked mentions — defines the
+    tail/torso/head split."""
+    return linked.groupBy(F.col(qid_col).alias("qid")).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def alias_counts(mentions: DataFrame) -> DataFrame:
+    """(alias, cnt): mention-text histogram."""
+    return mentions.groupBy("alias").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def mentions_per_doc_hist(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(n_mentions, n_docs): distribution of per-page mention counts."""
+    per_doc = mentions.groupBy(id_col).agg(F.count("*").alias("n_mentions"))
+    return per_doc.groupBy("n_mentions").agg(F.count("*").cast("long").alias("n_docs")).select(
+        F.col("n_mentions").cast("long"), "n_docs"
+    )
+
+
+def cand_count_hist(alias_cands: DataFrame) -> DataFrame:
+    """(n_cands, n_aliases): candidates-per-alias distribution."""
+    per_alias = alias_cands.groupBy("alias").agg(F.count("*").alias("n_cands"))
+    return per_alias.groupBy("n_cands").agg(F.count("*").cast("long").alias("n_aliases")).select(
+        F.col("n_cands").cast("long"), "n_aliases"
+    )
+
+
+def qid_count_buckets(counts: DataFrame, n_quantiles: int = 21) -> DataFrame:
+    """(qid, cnt, bucket): popularity bucket = number of the 21 evenly
+    spaced exact quantiles of cnt that are strictly below cnt
+    (dataset.py:484-490 semantics: np.quantile grid, mention score =
+    index of its count's bucket)."""
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    quant = counts.select(
+        F.expr(f"percentile(cnt, array({','.join(str(q) for q in qs)}))").alias("qv")
+    )
+    return (
+        counts.crossJoin(F.broadcast(quant))
+        .withColumn(
+            "bucket",
+            F.size(F.filter(F.col("qv"), lambda v: v < F.col("cnt"))).cast("long"),
+        )
+        .select("qid", "cnt", "bucket")
+    )
+
+
+def slice_eval(
+    linked: DataFrame,
+    gold_col: str = "qid_gold",
+    pred_col: str = "qid_pred",
+    slice_col: str = "slice_name",
+) -> DataFrame:
+    """Per-slice accuracy (scorer.py:47-126): total mentions, correct,
+    accuracy ratio."""
+    return (
+        linked.groupBy(F.col(slice_col).alias("slice_name"))
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum(F.when(F.col(pred_col) == F.col(gold_col), 1).otherwise(0))
+            .cast("long")
+            .alias("correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("correct") / F.col("total"), 6))
+    )
+
+
+def recall_at_k(
+    mention_cands: DataFrame,
+    ks: tuple[int, ...] = (1, 2, 3),
+    gold_col: str = "qid_gold",
+    cands_col: str = "cand_qids",
+) -> DataFrame:
+    """One row per k: fraction of mentions whose gold QID is in the top-k
+    candidates (cand_gen/eval.py:309-370)."""
+    pos = F.array_position(F.col(cands_col), F.col(gold_col))
+    base = mention_cands.select(pos.alias("pos"))
+    rows = [
+        base.select(
+            F.lit(k).cast("long").alias("k"),
+            F.round(F.avg(F.when((F.col("pos") >= 1) & (F.col("pos") <= k), 1.0).otherwise(0.0)), 6).alias("recall"),
+        )
+        for k in ks
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

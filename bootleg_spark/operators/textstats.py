@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Engine extensions beyond the reference (task brief); all pure JVM
+expressions (codegen end-to-end) with exact DuckDB SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A tiny per-language function-word inventory for the heuristic
+# language-ID (n-gram/stopword evidence voting). Deliberately small and
+# inlined so Spark and the SQL oracle share it verbatim.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _count_in(words_col, markers: tuple[str, ...]):
+    return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, predicted_lang): language with the most marker-word hits;
+    'und' (undetermined) when no marker occurs. Ties broken by fixed
+    language order en > de > es > fr (greatest-of comparison order)."""
+    words = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("id"), words.alias("w"))
+    counts = {lang: _count_in(F.col("w"), m) for lang, m in LANG_MARKERS.items()}
+    sel = d.select("id", *[counts[k].cast("long").alias(f"n_{k}") for k in LANG_MARKERS])
+    pred = (
+        F.when(
+            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_fr")) & (F.col("n_en") > 0),
+            "en",
+        )
+        .when((F.col("n_de") >= F.col("n_es")) & (F.col("n_de") >= F.col("n_fr")) & (F.col("n_de") > 0), "de")
+        .when((F.col("n_es") >= F.col("n_fr")) & (F.col("n_es") > 0), "es")
+        .when(F.col("n_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return sel.select("id", "n_en", "n_de", "n_es", "n_fr", pred.alias("pred_lang"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_word_tokens, n_chars): whitespace tokens plus a
+    BPE-ish word-piece proxy (alnum runs) via regexp counting."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, mean_word_len, stopword_ratio, quality): simple
+    length/stopword heuristics — documents outside sane bounds score 0."""
+    words = F.split(F.col(text_col), " ")
+    en_stop = LANG_MARKERS["en"]
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stop)))
+    mean_len = F.round((F.length(F.col(text_col)) - (n_words - 1)) / n_words, 6)
+    stop_ratio = F.round(n_stop / n_words, 6)
+    quality = F.round(
+        F.when((n_words >= 5) & (mean_len >= 2.0) & (mean_len <= 12.0), 1.0 - F.abs(stop_ratio - 0.05))
+        .otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp_min, fp_max): winnowing-style rolling fingerprint — the
+    extreme md5 hashes over word shingles (order statistics on hex
+    strings → engine-portable)."""
+    w = docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w"))
+    sh = w.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {shingle_n} THEN transform(sequence(0, size(w) - {shingle_n}),"
+                f" i -> md5(concat_ws(' ', slice(w, i + 1, {shingle_n})))) ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    return sh.groupBy("id").agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))

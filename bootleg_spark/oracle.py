@@ -1,0 +1,126 @@
+"""DuckDB oracle SQL — ANSI-SQL mirrors of the Spark pipeline stages.
+
+Each constant/formula comes from ``bootleg_spark.synthspec`` so the
+Spark DataFrame plans (``bootleg_spark.sources.synth`` and the
+operators) and these SQL strings cannot drift. The driver runs these on
+pre-registered views of the same parquet (region nation customer
+supplier part orders lineitem events documents embeddings) and
+hash-compares values against the Spark results.
+
+DuckDB-specific idioms used:
+- parallel ``unnest`` of equal-length lists zips positionally (used for
+  word positions);
+- ``string_split`` (Spark: ``split``).
+"""
+
+from __future__ import annotations
+
+from bootleg_spark import synthspec as S
+from bootleg_spark.functions.textproc import STOP_WORDS
+
+_STOPLIST_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOP_WORDS))
+
+
+def _case(expr: str, names: tuple[str, ...]) -> str:
+    branches = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(names[:-1])
+    )
+    return f"CASE ({expr}) {branches} ELSE '{names[-1]}' END"
+
+
+# -- base CTEs ---------------------------------------------------------------
+
+WORDS = f"""
+words AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, ' ')))) AS mention_pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+)"""
+
+ALIASES = f"""
+aliases AS (
+  SELECT alias, CAST(row_number() OVER (ORDER BY alias) AS BIGINT) AS alias_id
+  FROM (
+    SELECT DISTINCT word AS alias FROM words
+    WHERE len(word) >= 2
+      AND word NOT IN ({_STOPLIST_SQL})
+      AND NOT regexp_matches(word, '^[0-9]+$')
+  )
+)"""
+
+ENTITIES = f"""
+entities AS (
+  SELECT 'Q' || CAST(alias_id * {S.N_VARIANTS} + v.variant AS BIGINT) AS qid,
+         CAST(alias_id * {S.N_VARIANTS} + v.variant AS BIGINT) AS qnum,
+         CAST(alias_id * {S.N_VARIANTS} + v.variant AS BIGINT) AS eid,
+         alias, alias_id, v.variant AS variant,
+         CAST((alias_id * {S.SCORE_MULT_ALIAS} + v.variant * {S.SCORE_MULT_VARIANT})
+              % {S.SCORE_MOD} AS DOUBLE) AS score,
+         {_case('v.variant', S.TYPE_NAMES)} AS type_name,
+         alias || ' (' || {_case('v.variant', S.TYPE_NAMES)} || ')' AS title,
+         'entity for ' || alias || ' variant ' || CAST(v.variant AS VARCHAR) AS descr
+  FROM aliases CROSS JOIN (VALUES (0), (1), (2)) AS v(variant)
+)"""
+
+ALIAS_CANDS = f"""
+alias_cands AS (
+  SELECT alias, qid, qnum, score,
+         CAST(row_number() OVER (PARTITION BY alias ORDER BY score DESC, qnum DESC)
+              AS INTEGER) AS rank
+  FROM entities
+  QUALIFY rank <= {S.MAX_CANDIDATES}
+)"""
+
+
+def _kg_edge_sql(i: int, a: int, b: int) -> str:
+    return f"""
+  SELECT qid AS subj_qid,
+         {_case(f'(qnum + {i}) % 3', S.REL_NAMES)} AS rel,
+         'Q' || CAST(3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) AS BIGINT) AS obj_qid,
+         qnum AS subj_qnum,
+         CAST(3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) AS BIGINT) AS obj_qnum
+  FROM entities CROSS JOIN (SELECT count(DISTINCT alias_id) AS n FROM entities) n
+  WHERE 3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) <> qnum"""
+
+
+KG_RELATIONS = (
+    "\nkg_relations AS (\n  SELECT DISTINCT subj_qid, rel, obj_qid, subj_qnum, obj_qnum FROM ("
+    + "\n  UNION ALL".join(_kg_edge_sql(i, a, b) for i, (a, b) in enumerate(S.KG_EDGES))
+    + "\n  )\n)"
+)
+
+# -- pipeline CTEs ------------------------------------------------------------
+
+MENTIONS = """
+mentions AS (
+  SELECT w.doc_id, w.mention_pos, a.alias
+  FROM words w JOIN aliases a ON w.word = a.alias
+)"""
+
+LINKED = """
+linked AS (
+  SELECT m.doc_id, m.mention_pos, m.alias, c.qid
+  FROM mentions m JOIN alias_cands c ON m.alias = c.alias AND c.rank = 1
+)"""
+
+DOC_ENTITIES = """
+doc_entities AS (
+  SELECT DISTINCT doc_id, qid FROM linked
+)"""
+
+TRIPLES = """
+triples AS (
+  SELECT DISTINCT k.subj_qid AS subj, k.rel AS pred, k.obj_qid AS obj
+  FROM doc_entities e1
+  JOIN doc_entities e2 ON e1.doc_id = e2.doc_id AND e1.qid <> e2.qid
+  JOIN kg_relations k ON k.subj_qid = e1.qid AND k.obj_qid = e2.qid
+)"""
+
+
+def with_ctes(*ctes: str, final: str) -> str:
+    return "WITH " + ",".join(ctes) + "\n" + final
+
+
+BASE = (WORDS, ALIASES, ENTITIES, ALIAS_CANDS, KG_RELATIONS)
+PIPELINE = BASE + (MENTIONS, LINKED, DOC_ENTITIES, TRIPLES)

@@ -1,0 +1,173 @@
+"""Deterministic synthesis of the pipeline inputs from the driver's
+``documents`` parquet (TESTDATA.md): the ``pages`` web table and the
+Bootleg-style entity-profile dimension tables.
+
+All derivations are pure DataFrame expressions (whole-stage codegen,
+no Python) and are mirrored formula-for-formula in the DuckDB oracle
+(``bootleg_spark.oracle``). Formulas/constants live in
+``bootleg_spark.synthspec``.
+
+Reference shapes being synthesized:
+- pages: BASELINE.json input_hint (url, warc_ts, html, text, lang)
+- alias→candidates: bootleg/symbols/entity_symbols.py:19-69 (scored,
+  sorted (score desc, id desc), truncated to max_candidates :305-316)
+- types: bootleg/symbols/type_symbols.py:28-98
+- KG relations: bootleg/symbols/kg_symbols.py:33-110
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bootleg_spark import synthspec as S
+from bootleg_spark.functions.textproc import STOP_WORDS
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the web-pages table (url, warc_ts, html, text, lang).
+
+    ``html`` wraps ``text`` in a fixed boilerplate template (nav, style,
+    script, footer) rendered JVM-side; the extractor must recover
+    ``text`` byte-identically (north_rule per-row invariant).
+    """
+    d = read_documents(spark, sf_dir)
+    html_str = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body><nav>home | about</nav><p>"),
+        F.col("text"),
+        F.lit("</p><script>var v="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><footer>copyright example.org</footer></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit(S.URL_PREFIX), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(S.BASE_EPOCH) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),  # lineage convenience at test scale
+    )
+
+
+def words_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, mention_pos, word) via posexplode(split) — codegen-only."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("mention_pos", "word")
+    )
+
+
+def alias_vocab(docs: DataFrame) -> DataFrame:
+    """Alias dimension: distinct non-stopword, non-numeric corpus words.
+
+    alias_id is a dense 1-based id by alphabetical order (stands in for
+    the reference's VocabularyTrie external ids,
+    nested_vocab_tries.py:92-193).
+    """
+    w = words_table(docs)
+    vocab = (
+        w.select(F.col("word").alias("alias"))
+        .where(
+            (F.length("alias") >= 2)
+            & (~F.col("alias").isin(*sorted(STOP_WORDS)))
+            & (~F.col("alias").rlike("^[0-9]+$"))
+        )
+        .distinct()
+    )
+    return vocab.withColumn(
+        "alias_id", F.row_number().over(Window.orderBy("alias")).cast("long")
+    )
+
+
+def entities_dim(aliases: DataFrame) -> DataFrame:
+    """Entity dimension: N_VARIANTS entities per alias.
+
+    (qid, qnum, eid, alias, alias_id, variant, score, type_name, title,
+    descr). eid = qnum ≥ 3, preserving the reference's reserved rows
+    eid 0 = "not in candidates", eid 1 = PAD
+    (entity_symbols.py:43-69; eval_utils.py:90-114).
+    """
+    v = F.explode(F.array(*[F.lit(i) for i in range(S.N_VARIANTS)])).alias("variant")
+    e = aliases.select("alias", "alias_id", v)
+    qnum = (F.col("alias_id") * S.N_VARIANTS + F.col("variant")).cast("long")
+    score = (
+        (F.col("alias_id") * S.SCORE_MULT_ALIAS + F.col("variant") * S.SCORE_MULT_VARIANT)
+        % S.SCORE_MOD
+    ).cast("double")
+    type_name = (
+        F.when(F.col("variant") == 0, S.TYPE_NAMES[0])
+        .when(F.col("variant") == 1, S.TYPE_NAMES[1])
+        .otherwise(S.TYPE_NAMES[2])
+    )
+    return e.select(
+        F.concat(F.lit("Q"), qnum.cast("string")).alias("qid"),
+        qnum.alias("qnum"),
+        qnum.alias("eid"),
+        "alias",
+        "alias_id",
+        F.col("variant").cast("int"),
+        score.alias("score"),
+        type_name.alias("type_name"),
+        F.concat(F.col("alias"), F.lit(" ("), type_name, F.lit(")")).alias("title"),
+        F.concat(
+            F.lit("entity for "), F.col("alias"), F.lit(" variant "), F.col("variant").cast("string")
+        ).alias("descr"),
+    )
+
+
+def alias_cands(entities: DataFrame, max_candidates: int = S.MAX_CANDIDATES) -> DataFrame:
+    """Per-alias candidate list, sorted (score desc, qnum desc), truncated
+    to max_candidates with 1-based rank (entity_symbols.py:305-316)."""
+    w = Window.partitionBy("alias").orderBy(F.desc("score"), F.desc("qnum"))
+    return (
+        entities.select("alias", "qid", "qnum", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_candidates)
+    )
+
+
+def kg_relations(entities: DataFrame) -> DataFrame:
+    """KG relation dim (subj_qid, rel, obj_qid) — also the output-triple
+    schema (kg_symbols.py:33-110). Two deterministic edges per entity."""
+    n_aliases = entities.select((F.countDistinct("alias_id")).alias("n"))
+    e = entities.select("qid", "qnum").crossJoin(F.broadcast(n_aliases))
+    edges = []
+    for i, (a, b) in enumerate(S.KG_EDGES):
+        obj_num = (F.lit(3) + (F.col("qnum") * a + b) % (F.col("n") * S.N_VARIANTS)).cast("long")
+        rel = (
+            F.when((F.col("qnum") + i) % 3 == 0, S.REL_NAMES[0])
+            .when((F.col("qnum") + i) % 3 == 1, S.REL_NAMES[1])
+            .otherwise(S.REL_NAMES[2])
+        )
+        edges.append(
+            e.select(
+                F.col("qid").alias("subj_qid"),
+                rel.alias("rel"),
+                F.concat(F.lit("Q"), obj_num.cast("string")).alias("obj_qid"),
+                F.col("qnum").alias("subj_qnum"),
+                obj_num.alias("obj_qnum"),
+            ).where(obj_num != F.col("qnum"))
+        )
+    out = edges[0]
+    for x in edges[1:]:
+        out = out.unionByName(x)
+    return out.dropDuplicates(["subj_qid", "rel", "obj_qid"])
+
+
+def build_dims(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All dimension tables for an sf dir (small → broadcast at join time)."""
+    docs = read_documents(spark, sf_dir)
+    aliases = alias_vocab(docs)
+    ents = entities_dim(aliases)
+    return {
+        "documents": docs,
+        "aliases": aliases,
+        "entities": ents,
+        "alias_cands": alias_cands(ents),
+        "kg_relations": kg_relations(ents),
+    }

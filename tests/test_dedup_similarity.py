@@ -1,0 +1,69 @@
+"""Dedup + similarity operator goldens on crafted micro-data."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from bootleg_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_dedup_exact(spark):
+    d = _docs(spark, ["a b c", "a b c", "x y z"])
+    rows = {r["content_hash"]: r for r in dedup.dedup_exact(d).collect()}
+    assert len(rows) == 2
+    dup = [r for r in rows.values() if r["dup_count"] == 2][0]
+    assert dup["keep_id"] == 0
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("dog", "cat")
+    far = "completely different words in this sentence about spark plans"
+    d = _docs(spark, [base, near, far])
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(d).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_golden(spark):
+    d = _docs(spark, ["a b c d", "a b c e", "p q r s"])
+    # 3-shingles: doc0 {abc, bcd}, doc1 {abc, bce} → inter 1, union 3
+    rows = dedup.ngram_jaccard_pairs(d, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_inter"]) == (0, 1, 1)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_simhash_identical_docs_pair(spark):
+    d = _docs(spark, ["spark join filter window", "spark join filter window", "zzz yyy xxx www"])
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(d).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    got = similarity.cosine_topk_bruteforce(df, n_queries=3, k=4).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        expected = sorted(
+            ((round(float(sims[q, j]), 6), j) for j in range(20) if j != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        mine = sorted(
+            [(r["cos_sim"], r["neighbor_id"]) for r in got if r["query_id"] == q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [(round(s, 5), j) for s, j in mine] == [(round(s, 5), j) for s, j in expected]

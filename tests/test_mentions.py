@@ -1,0 +1,85 @@
+"""Mention extraction parity with the reference's annotator golden
+(tests/test_end_to_end/test_annotator.py:66-80) and filter unit tests
+(mention_extractor_utils.py semantics)."""
+
+import pyspark.sql.functions as F
+
+from bootleg_spark.operators.mentions import (
+    extract_mentions_ngram,
+    ngram_extract_aliases,
+    tokenize_with_offsets,
+)
+
+# the reference's 3-alias test fixture
+# (tests/data/entity_loader/entity_data/entity_mappings, FIXTURES.md §3)
+FIXTURE_ALIASES = frozenset({"alias1", "multi word alias2", "word alias3"})
+
+
+def test_reference_annotator_golden():
+    out = ngram_extract_aliases(
+        "alias1 and alias2 and multi word alias3 I have no idea", FIXTURE_ALIASES
+    )
+    # golden: only alias1 at [0, 6] — "word alias3" is split-noun-suppressed
+    # (left neighbor "multi" is nounish), "multi word alias3" is not an alias
+    assert out == [("alias1", 0, 6)]
+
+
+def test_multiword_and_overlap():
+    # note: with the POS-free noun heuristic, a nounish right/left neighbor
+    # split-noun-suppresses the gram (spaCy would let a VERB neighbor pass —
+    # documented divergence, SURVEY.md §7.4); bound with stopwords here
+    out = ngram_extract_aliases("so multi word alias2 is good", FIXTURE_ALIASES)
+    assert out == [("multi word alias2", 3, 20)]
+    # the contained 2-gram "word alias2" must not also fire (overlap kept out)
+    out = ngram_extract_aliases("the multi word alias2 and alias1", FIXTURE_ALIASES)
+    assert [a for a, _, _ in out] == ["multi word alias2", "alias1"]
+
+
+def test_plural_possessive_variants():
+    aliases = frozenset({"spark"})
+    out = ngram_extract_aliases("Spark's planner", aliases)
+    assert [a for a, _, _ in out] == ["spark"]
+
+
+def test_numeric_and_stopword_filters():
+    aliases = frozenset({"42", "the"})
+    assert ngram_extract_aliases("it is 42 now", aliases) == []  # numeric dropped
+    assert ngram_extract_aliases("the word", aliases) == []  # stopword boundary
+
+
+def test_capitalized_start_exception():
+    # stopword boundary is waived when the first token is capitalized
+    # (bounded_by_stopword, mention_extractor_utils.py:88-91)
+    aliases = frozenset({"the beatles"})
+    out = ngram_extract_aliases("and then The Beatles were there", aliases)
+    assert [a for a, _, _ in out] == ["the beatles"]
+    # lowercase mid-sentence start → stopword boundary applies
+    out = ngram_extract_aliases("and then the beatles were there", aliases)
+    assert out == []
+
+
+def test_punct_boundary_tokens():
+    toks = tokenize_with_offsets("hello, (world) ok")
+    assert ("hello", 0) in toks and ("," , 5) in toks
+    assert ("(", 7) in toks and ("world", 8) in toks and (")", 13) in toks
+
+
+def test_spark_extractor_matches_pure_python(spark):
+    texts = [
+        "alias1 and alias2 and multi word alias3 I have no idea",
+        "so multi word alias2 wins",
+        "",
+    ]
+    bc = spark.sparkContext.broadcast(FIXTURE_ALIASES)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = (
+        extract_mentions_ngram(df, bc)
+        .select("id", "alias", "char_start", "char_end")
+        .orderBy("id", "char_start")
+        .collect()
+    )
+    expected = []
+    for i, t in enumerate(texts):
+        for a, s, e in ngram_extract_aliases(t, FIXTURE_ALIASES):
+            expected.append((i, a, s, e))
+    assert [tuple(r) for r in got] == expected

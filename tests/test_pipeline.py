@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests at sf0.001: byte-identity invariant,
+triples determinism under partitioning, manifest resume."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bootleg_spark.plans.pipeline import KgPipeline, extract_text, materialize_triples
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pipe(spark):
+    return KgPipeline(spark, SF_SMOKE)
+
+
+def test_extract_text_byte_identical(pipe):
+    """north_rule per-row invariant: extracted text == pre-extracted text
+    for every url."""
+    p = extract_text(pipe.pages())
+    bad = p.where(F.col("text_extracted") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_popularity_triples_nonempty_and_valid(pipe):
+    tri = pipe.triples(extractor="word", scorer="popularity")
+    rows = tri.collect()
+    assert len(rows) > 0
+    kg = {
+        (r["subj_qid"], r["rel"], r["obj_qid"])
+        for r in pipe.dims["kg_relations"].collect()
+    }
+    for r in rows:
+        assert (r["subj"], r["pred"], r["obj"]) in kg
+    # dedup'd
+    assert len({(r["subj"], r["pred"], r["obj"]) for r in rows}) == len(rows)
+
+
+def test_neural_triples_deterministic_across_partitioning(pipe, spark):
+    """Partition-invariance: same triple set whether the input is 1 or 16
+    partitions (the in-process analogue of the reference's 1-vs-2-worker
+    equality test, tests/test_end_to_end/test_mention_extraction.py:63-88;
+    the cross-process local[8]-vs-local[32] run lives in bench.py)."""
+    pages = pipe.pages()
+    t1 = {
+        tuple(r)
+        for r in pipe.triples(pages.repartition(1)).select("subj", "pred", "obj").collect()
+    }
+    t16 = {
+        tuple(r)
+        for r in pipe.triples(pages.repartition(16)).select("subj", "pred", "obj").collect()
+    }
+    assert t1 == t16
+    assert len(t1) > 0
+
+
+def test_neural_linking_subset_of_candidates(pipe):
+    linked = pipe.linked()
+    rows = linked.select("alias", "qid_pred", "cand_qids", "prob").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["qid_pred"] in list(r["cand_qids"])
+        assert 0.0 < r["prob"] <= 1.0
+
+
+def test_manifest_resume(pipe, tmp_path):
+    out = str(tmp_path / "kg_out")
+    recs = materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    assert len(recs) == 2
+    manifest = [json.loads(x) for x in open(os.path.join(out, "_manifest.jsonl"))]
+    assert {m["bucket"] for m in manifest} == {0, 1}
+    assert all(m["pages"] > 0 and m["seconds"] >= 0 for m in manifest)
+    # resume: nothing left to do
+    recs2 = materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    assert recs2 == []
+    # buckets union must equal the one-shot pipeline result
+    got = {
+        tuple(r)
+        for r in pipe.spark.read.parquet(os.path.join(out, "triples")).select(
+            "subj", "pred", "obj"
+        ).collect()
+    }
+    expected = {
+        tuple(r)
+        for r in pipe.triples(extractor="word", scorer="popularity").collect()
+    }
+    assert got == expected

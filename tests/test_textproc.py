@@ -1,0 +1,96 @@
+"""Context window + entity string + HTML extraction goldens.
+
+Windowing semantics from bootleg/dataset.py:173-337 (reproduced with a
+whitespace tokenizer — same arithmetic, different segmentation).
+"""
+
+from bootleg_spark.functions.textproc import (
+    EntityStringConstants,
+    WhitespaceTokenizer,
+    build_entity_string,
+    extract_context,
+    extract_html_text,
+    render_page_html,
+    structural_entity_str,
+)
+
+
+def test_extract_context_marks_span():
+    s = "alias1 and alias2 and more words here"
+    out = extract_context((0, 6), s, 64)
+    assert out == "[ent_start] alias1 [ent_end] and alias2 and more words here"
+
+
+def test_extract_context_mid_span_no_spaces():
+    s = "xxalias1yy more"
+    out = extract_context((2, 8), s, 64)
+    assert out.split() == ["xx", "[ent_start]", "alias1", "[ent_end]", "yy", "more"]
+
+
+def test_extract_context_window_shifts_weight():
+    left = " ".join(f"l{i}" for i in range(100))
+    right = " ".join(f"r{i}" for i in range(100))
+    s = f"{left} TARGET {right}"
+    start = len(left) + 1
+    out = extract_context((start, start + 6), s, 8)
+    toks = out.split()
+    # equal sides → else-branch: right gets window//2=4, left fills the rest
+    assert "[ent_start]" in toks and "[ent_end]" in toks
+    assert toks.index("[ent_end]") - toks.index("[ent_start]") == 2
+    assert len(toks) <= 8 + 3  # window + markers + mention
+
+    # mention near start → more tokens on the right
+    out2 = extract_context((0, 2), s[len(left) - 1 :], 8)
+    assert out2.split()[0] in ("[ent_start]",)
+
+
+def test_structural_entity_str_truncation():
+    items = ["one two", "three four", "five six"]
+    res, over = structural_entity_str(items, 100, "[ent_kg]")
+    assert res == " [ent_kg] one two [ent_kg] three four [ent_kg] five six"
+    assert over == 0
+    res, over = structural_entity_str(items, 4, "[ent_kg]")
+    assert res == " [ent_kg] one two"
+    assert over == 1
+    res, over = structural_entity_str([], 10, "[ent_kg]")
+    assert res == " [ent_kg] "
+    assert over == 0
+
+
+def test_build_entity_string_golden():
+    s, spans, ot, ok = build_entity_string(
+        title="spark (place)",
+        desc="entity for spark variant 1",
+        typenames=["place"],
+        kg_items=["works_with merge (concept)"],
+    )
+    assert s == (
+        "spark [ent_type] place [ent_kg] works_with merge (concept) "
+        "[ent_desc] entity for spark variant 1"
+    )
+    # title word "spark" found at positions outside [ent_type]..[ent_desc] skip zone
+    assert 0 in spans
+    assert ot == 0 and ok == 0
+
+
+def test_build_entity_string_truncates():
+    consts = EntityStringConstants(max_ent_kg_len=3, max_ent_type_len=2)
+    s, _, ot, ok = build_entity_string(
+        "t", "d", ["ty1", "ty2", "ty3"], ["rel a b c", "rel d e f"], consts
+    )
+    assert ok == 1 and ot == 1
+    assert "[ent_kg] rel a b c" in s and "rel d e f" not in s
+
+
+def test_html_roundtrip():
+    text = "the fast key order sort table"
+    html = render_page_html(7, text)
+    assert extract_html_text(html) == text
+    assert extract_html_text(None) is None
+    assert extract_html_text(b"<p>a &amp; b</p>") == "a & b"
+
+
+def test_tokenizer_interface():
+    t = WhitespaceTokenizer(model_max_length=16)
+    assert t.tokenize("a b  c") == ["a", "b", "c"]
+    assert t.convert_tokens_to_string(["a", "b"]) == "a b"
