@@ -21,7 +21,7 @@ from bootleg_spark.operators import dedup, similarity, stats, textstats
 from bootleg_spark.operators.candidates import attach_candidates
 from bootleg_spark.operators.linking import link_popularity
 from bootleg_spark.operators.mentions import extract_mentions_word
-from bootleg_spark.operators.triples import cooccurrence_pairs, doc_entities, emit_triples
+from bootleg_spark.operators.triples import doc_entities, triples_from_doc_entities
 from bootleg_spark.plans.pipeline import KgPipeline, extract_text
 from bootleg_spark.sources import synth
 
@@ -110,7 +110,7 @@ def _q_linked_popularity(spark, sf_dir):
 def _q_triples_popularity(spark, sf_dir):
     linked, d = _linked_pop(spark, sf_dir)
     ents = doc_entities(linked, id_col="doc_id", qid_col="qid")
-    return emit_triples(cooccurrence_pairs(ents), d["kg_relations"])
+    return triples_from_doc_entities(ents, d["kg_relations"])
 
 
 def _q_qid_counts(spark, sf_dir):
@@ -194,6 +194,42 @@ def _q_triples_neural(spark, sf_dir):
     return _pipe(spark, sf_dir).triples()
 
 
+def _q_predictions_writeback(spark, sf_dir):
+    from bootleg_spark.operators.predictions import merge_predictions
+
+    linked, _ = _linked_pop(spark, sf_dir)
+    return merge_predictions(linked, qid_col="qid")
+
+
+def _q_prune_to_entities(spark, sf_dir):
+    from bootleg_spark.operators.predictions import prune_to_entities
+
+    linked, d = _linked_pop(spark, sf_dir)
+    keep = linked.select("qid").distinct()
+    return prune_to_entities(d["entities"], keep).select("qid", "new_eid")
+
+
+def _q_mentions_gold_filter(spark, sf_dir):
+    from bootleg_spark.operators.predictions import filter_weak_labels
+
+    m, _ = _word_mentions(spark, sf_dir)
+    with_gold = m.withColumn("gold", F.col("mention_pos") % 2 == 0)
+    return filter_weak_labels(with_gold).select("doc_id", "mention_pos", "alias")
+
+
+def _q_media_metadata(spark, sf_dir):
+    from bootleg_spark.operators.multimodal import media_metadata
+
+    return media_metadata(synth.pages_table(spark, sf_dir), bin_col="html", id_col="url")
+
+
+def _q_media_features(spark, sf_dir):
+    from bootleg_spark.operators.multimodal import extract_media_features
+
+    feats = extract_media_features(synth.pages_table(spark, sf_dir))
+    return feats.select("id", F.transform("feat", lambda x: F.round(x, 6)).alias("feat"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -274,6 +310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qid_count_buckets": _q_qid_count_buckets,
         "slice_eval": _q_slice_eval,
         "recall_at_k": _q_recall_at_k,
+        # prediction assembly / write-back + filters + pruning
+        "predictions_writeback": _q_predictions_writeback,
+        "prune_to_entities": _q_prune_to_entities,
+        "mentions_gold_filter": _q_mentions_gold_filter,
+        # multimodal binary-column plumbing
+        "media_metadata": _q_media_metadata,
+        "media_features": _q_media_features,  # no oracle: mapInPandas stage
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_bands,
@@ -392,6 +435,34 @@ LEFT JOIN (
   GROUP BY k.subj_qid
 ) kg ON e.qid = kg.qid""",
         ),
+        "predictions_writeback": O.with_ctes(
+            *O.BASE[:4], O.MENTIONS, O.LINKED,
+            final="""SELECT doc_id,
+       list(alias ORDER BY mention_pos) AS aliases,
+       list(qid ORDER BY mention_pos) AS qids
+FROM linked GROUP BY doc_id""",
+        ),
+        "prune_to_entities": O.with_ctes(
+            *O.BASE[:4], O.MENTIONS, O.LINKED,
+            final="""SELECT e.qid,
+       CAST(row_number() OVER (ORDER BY e.qnum) + 1 AS BIGINT) AS new_eid
+FROM entities e WHERE e.qid IN (SELECT DISTINCT qid FROM linked)""",
+        ),
+        "mentions_gold_filter": O.with_ctes(
+            O.WORDS, O.ALIASES, O.MENTIONS,
+            final="SELECT doc_id, mention_pos, alias FROM mentions WHERE mention_pos % 2 = 0",
+        ),
+        "media_metadata": f"""
+SELECT '{S.URL_PREFIX}' || lang || '/' || CAST(doc_id AS VARCHAR) AS id,
+       CAST(strlen(
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>p{{margin:0}}</style></head><body><nav>home | about</nav><p>' ||
+         text ||
+         '</p><script>var v=' || CAST(doc_id AS VARCHAR) ||
+         ';</script><footer>copyright example.org</footer></body></html>'
+       ) AS BIGINT) AS n_bytes,
+       'html' AS kind
+FROM documents""",
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text)"

@@ -19,6 +19,7 @@ pandas UDFs only, never per-row.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -26,8 +27,13 @@ NC_EID = 0  # "not in candidates" row (entity_symbols.py:43-45)
 PAD_EID = 1  # padding row (eval_utils.py:90-114 maps "-1" -> 1)
 
 
+@lru_cache(maxsize=1 << 18)
 def token_hash(token: str) -> tuple[int, int]:
-    """(bucket_seed, sign_bit) for a token — md5-stable across processes."""
+    """(bucket_seed, sign_bit) for a token — md5-stable across processes.
+
+    Memoized: natural-language token frequency is Zipfian, so the hot
+    path hits the cache almost always (md5 is ~1.5 µs/call — the
+    dominant cost of featurization without the cache)."""
     h = hashlib.md5(token.encode("utf-8")).digest()
     return int.from_bytes(h[:4], "big"), h[4] & 1
 

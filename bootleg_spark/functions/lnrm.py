@@ -16,6 +16,7 @@ whole-stage-codegen expression used on the hot path.
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -24,8 +25,12 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
+@lru_cache(maxsize=1 << 18)
 def lnrm(s: str, strip: bool = True, lower: bool = True) -> str:
-    """Lower-cased normalized form of ``s`` (see module docstring)."""
+    """Lower-cased normalized form of ``s`` (see module docstring).
+
+    Memoized (token/alias inputs are Zipfian; caching changes no output,
+    only skips recomputing the NFD pass on repeat tokens)."""
     if not strip and not lower:
         return s
     out = str(s)

@@ -29,6 +29,7 @@ char_start, char_end).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -84,9 +85,10 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int]]:
     return out
 
 
+@lru_cache(maxsize=1 << 18)
 def _pos_keep(tok: str) -> bool:
     """POS-free noun-ness heuristic (replaces spaCy KEEP_POS={PROPN,NOUN},
-    mention_extractor_utils.py:36)."""
+    mention_extractor_utils.py:36). Memoized per token."""
     t = tok.lower()
     if t in STOP_WORDS or t in PUNC or t in ("s", "'s"):
         return False
@@ -112,7 +114,7 @@ def ngram_extract_aliases(
     keep = [_pos_keep(t) for t, _ in toks]
     used: list[tuple[str, int, int]] = []
     n_toks = len(toks)
-    for n in range(max_alias_len, min_alias_len - 1, -1):
+    for n in range(min(max_alias_len, n_toks), min_alias_len - 1, -1):
         for start in range(0, n_toks - n + 1):
             gram = toks[start : start + n]
             start_char = gram[0][1]
@@ -182,12 +184,17 @@ def extract_mentions_ngram(
     @F.pandas_udf(_MENTION_SCHEMA)
     def _extract(texts: pd.Series) -> pd.Series:
         aliases = alias_set_bc.value
+        # effective n-gram ceiling from the dictionary itself: a gram longer
+        # than the longest alias (+1 token, since the " 's"->"'s" variant can
+        # merge two tokens into one) can never match, so those n-gram passes
+        # are dead — skip them (the reference hardcodes max_alias_len=6)
+        eff_max = min(max_alias_len, 1 + max((len(a.split()) for a in aliases), default=1))
         return texts.map(
             lambda t: []
             if t is None
             else [
                 {"alias": a, "char_start": s, "char_end": e}
-                for a, s, e in ngram_extract_aliases(t, aliases, min_alias_len, max_alias_len)
+                for a, s, e in ngram_extract_aliases(t, aliases, min_alias_len, eff_max)
             ]
         )
 
@@ -210,17 +217,32 @@ def extract_mentions_word(
 ) -> DataFrame:
     """Relational single-token mention extraction.
 
-    posexplode(split(text)) → lnrm → broadcast semi-join with the alias
-    dimension. Stays entirely inside whole-stage codegen: the scan's
-    split/explode, the lnrm regexes, and the broadcast hash join all run
-    JVM-side — this is the shape that survives 100 TB.
+    posexplode(split(text)) → normalize → broadcast hash join with the
+    alias dimension, entirely inside whole-stage codegen — the shape
+    that survives 100 TB.
+
+    Normalization fast path: aliases are lnrm images and lnrm is
+    idempotent, so a word whose ``lower()`` equals an alias needs no
+    regex at all (if lower(w) is an lnrm fixed point, lnrm(w) =
+    lower(w)). Single scan, two broadcast LEFT joins: the cheap
+    lowercase key first, then the two-regex lnrm key computed ONLY for
+    rows the first join missed (conditional expression — regexes never
+    run on the fast-path majority).
     """
+    fast_dim = alias_df.select(F.col("alias").alias("_fast_alias"))
+    slow_dim = alias_df.select(F.col("alias").alias("_slow_alias"))
     words = df.select(
         "*", F.posexplode(F.split(F.col(text_col), " ")).alias("mention_pos", "_word")
     )
-    normed = words.withColumn("alias", lnrm_ascii_col(F.col("_word")))
+    j1 = words.join(
+        F.broadcast(fast_dim), F.lower(F.col("_word")) == F.col("_fast_alias"), "left"
+    )
+    j2 = j1.withColumn(
+        "_lnrm",
+        F.when(F.col("_fast_alias").isNull(), lnrm_ascii_col(F.col("_word"))),
+    ).join(F.broadcast(slow_dim), F.col("_lnrm") == F.col("_slow_alias"), "left")
     return (
-        normed.join(F.broadcast(alias_df.select("alias")), "alias", "inner")
-        .where(F.length("alias") > 0)
+        j2.withColumn("alias", F.coalesce("_fast_alias", "_slow_alias"))
+        .where(F.col("alias").isNotNull() & (F.length("alias") > 0))
         .select(*df.columns, "mention_pos", "alias")
     )

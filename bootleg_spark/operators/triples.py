@@ -28,7 +28,14 @@ def doc_entities(linked: DataFrame, id_col: str = "doc_id", qid_col: str = "qid_
 
 def cooccurrence_pairs(ents: DataFrame) -> DataFrame:
     """Ordered entity pairs co-occurring on a page (both directions kept:
-    relations are directed)."""
+    relations are directed).
+
+    WARNING — O(k²) per page: a page with k entities emits k·(k−1) pair
+    rows, and the expansion happens *after* AQE has sized the shuffle,
+    so dense pages silently serialize the join. Kept for semantic
+    reference/tests; the production plan is
+    :func:`triples_from_doc_entities`, which never materializes pairs.
+    """
     e1 = ents.select("doc_id", F.col("qid").alias("subj"))
     e2 = ents.select("doc_id", F.col("qid").alias("obj"))
     return e1.join(e2, "doc_id").where(F.col("subj") != F.col("obj"))
@@ -42,6 +49,33 @@ def emit_triples(pairs: DataFrame, kg_relations: DataFrame, keep_lineage: bool =
     joined = pairs.join(F.broadcast(rel), ["subj", "obj"])
     cols = ["subj", "pred", "obj"] + (["doc_id"] if keep_lineage else [])
     return joined.select(*cols).dropDuplicates(["subj", "pred", "obj"])
+
+
+def triples_from_doc_entities(ents: DataFrame, kg_relations: DataFrame) -> DataFrame:
+    """(doc_id, qid) → dedup'd (subj, pred, obj), WITHOUT the pair blowup.
+
+    Semantically identical to ``emit_triples(cooccurrence_pairs(ents))``:
+    a relation (s, p, o) is emitted iff some page mentions both s and o.
+    Plan: fan each page-entity out over its ≤max_connections relations
+    via a broadcast hash join (map-side, bounded by the relation cap —
+    kg_symbols.py:39), then LEFT SEMI join back against the page-entity
+    set on (doc_id, obj) to test "obj also on this page". Row count is
+    O(k·E[edges]) per page instead of O(k²), one shuffle on
+    (doc_id, qid), and the final distinct is tiny.
+    """
+    rel = kg_relations.select(
+        F.col("subj_qid").alias("qid"), F.col("rel").alias("pred"), F.col("obj_qid").alias("obj")
+    )
+    cand = ents.join(F.broadcast(rel), "qid")  # (doc_id, qid=subj, pred, obj)
+    on_page = ents.select("doc_id", F.col("qid").alias("obj"))
+    # SHUFFLE_HASH: build side (per-page entity set) is the smaller stream
+    # and the join is equi on (doc_id, obj) — a shuffled hash join skips
+    # both sort passes a SortMergeJoin would add at 10^12-page scale
+    confirmed = cand.join(on_page.hint("shuffle_hash"), ["doc_id", "obj"], "left_semi")
+    return (
+        confirmed.select(F.col("qid").alias("subj"), "pred", "obj")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
 
 
 def salted_distinct(df: DataFrame, cols: list[str], salt_n: int = 32) -> DataFrame:

@@ -73,20 +73,23 @@ alias_cands AS (
 )"""
 
 
-def _kg_edge_sql(i: int, a: int, b: int) -> str:
+def _kg_edge_sql(a: int, b: int, v2: int) -> str:
+    obj = f"(1 + (qnum * {a} + {b}) % n.n) * {S.N_VARIANTS} + {v2}"
     return f"""
   SELECT qid AS subj_qid,
-         {_case(f'(qnum + {i}) % 3', S.REL_NAMES)} AS rel,
-         'Q' || CAST(3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) AS BIGINT) AS obj_qid,
+         {_case(f'(qnum + {v2}) % 3', S.REL_NAMES)} AS rel,
+         'Q' || CAST({obj} AS BIGINT) AS obj_qid,
          qnum AS subj_qnum,
-         CAST(3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) AS BIGINT) AS obj_qnum
+         CAST({obj} AS BIGINT) AS obj_qnum
   FROM entities CROSS JOIN (SELECT count(DISTINCT alias_id) AS n FROM entities) n
-  WHERE 3 + (qnum * {a} + {b}) % (n.n * {S.N_VARIANTS}) <> qnum"""
+  WHERE {obj} <> qnum"""
 
 
 KG_RELATIONS = (
     "\nkg_relations AS (\n  SELECT DISTINCT subj_qid, rel, obj_qid, subj_qnum, obj_qnum FROM ("
-    + "\n  UNION ALL".join(_kg_edge_sql(i, a, b) for i, (a, b) in enumerate(S.KG_EDGES))
+    + "\n  UNION ALL".join(
+        _kg_edge_sql(a, b, v2) for (a, b) in S.KG_EDGES for v2 in range(S.N_VARIANTS)
+    )
     + "\n  )\n)"
 )
 

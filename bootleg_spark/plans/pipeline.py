@@ -32,7 +32,7 @@ from bootleg_spark.operators.linking import (
     link_popularity,
 )
 from bootleg_spark.operators.mentions import extract_mentions_ngram, extract_mentions_word
-from bootleg_spark.operators.triples import cooccurrence_pairs, doc_entities, emit_triples
+from bootleg_spark.operators.triples import doc_entities, triples_from_doc_entities
 from bootleg_spark.sources.synth import build_dims, pages_table
 
 
@@ -66,8 +66,15 @@ class KgPipeline:
         return pages_table(self.spark, self.sf_dir)
 
     def linked(self, pages: DataFrame | None = None, extractor: str = "ngram", scorer: str = "neural") -> DataFrame:
-        """② + ③ + ④ on an extracted-text pages frame."""
-        p = extract_text(pages if pages is not None else self.pages())
+        """② + ③ + ④ on an extracted-text pages frame.
+
+        Column hygiene for the Python stages: after ① the plan carries
+        only (url, doc_id, text_extracted) — html/text/warc_ts must never
+        ride through Arrow into the mention/scoring UDFs (at 100 TB the
+        html column alone is the table)."""
+        p = extract_text(pages if pages is not None else self.pages()).select(
+            "url", "doc_id", "text_extracted"
+        )
         if extractor == "ngram":
             mentions = extract_mentions_ngram(p, self.alias_set_bc, text_col="text_extracted")
         elif extractor == "word":
@@ -85,7 +92,7 @@ class KgPipeline:
         """⑤ co-occurrence pairs ⋈ relations → dedup'd (subj, pred, obj)."""
         linked = self.linked(pages, extractor, scorer)
         ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
-        return emit_triples(cooccurrence_pairs(ents), self.dims["kg_relations"])
+        return triples_from_doc_entities(ents, self.dims["kg_relations"])
 
 
 def materialize_triples(

@@ -133,41 +133,61 @@ def alias_cands(entities: DataFrame, max_candidates: int = S.MAX_CANDIDATES) -> 
 
 def kg_relations(entities: DataFrame) -> DataFrame:
     """KG relation dim (subj_qid, rel, obj_qid) — also the output-triple
-    schema (kg_symbols.py:33-110). Two deterministic edges per entity."""
+    schema (kg_symbols.py:33-110).
+
+    Edges are alias-targeted: each entity k points at a deterministic
+    target alias and carries one edge per target *variant*, so a scorer's
+    context-dependent variant pick on the object side always finds an
+    edge (synthspec.KG_EDGES)."""
     n_aliases = entities.select((F.countDistinct("alias_id")).alias("n"))
     e = entities.select("qid", "qnum").crossJoin(F.broadcast(n_aliases))
     edges = []
-    for i, (a, b) in enumerate(S.KG_EDGES):
-        obj_num = (F.lit(3) + (F.col("qnum") * a + b) % (F.col("n") * S.N_VARIANTS)).cast("long")
-        rel = (
-            F.when((F.col("qnum") + i) % 3 == 0, S.REL_NAMES[0])
-            .when((F.col("qnum") + i) % 3 == 1, S.REL_NAMES[1])
-            .otherwise(S.REL_NAMES[2])
-        )
-        edges.append(
-            e.select(
-                F.col("qid").alias("subj_qid"),
-                rel.alias("rel"),
-                F.concat(F.lit("Q"), obj_num.cast("string")).alias("obj_qid"),
-                F.col("qnum").alias("subj_qnum"),
-                obj_num.alias("obj_qnum"),
-            ).where(obj_num != F.col("qnum"))
-        )
+    for a, b in S.KG_EDGES:
+        target_alias = F.lit(1) + (F.col("qnum") * a + b) % F.col("n")
+        for v2 in range(S.N_VARIANTS):
+            obj_num = (target_alias * S.N_VARIANTS + v2).cast("long")
+            rel = (
+                F.when((F.col("qnum") + v2) % 3 == 0, S.REL_NAMES[0])
+                .when((F.col("qnum") + v2) % 3 == 1, S.REL_NAMES[1])
+                .otherwise(S.REL_NAMES[2])
+            )
+            edges.append(
+                e.select(
+                    F.col("qid").alias("subj_qid"),
+                    rel.alias("rel"),
+                    F.concat(F.lit("Q"), obj_num.cast("string")).alias("obj_qid"),
+                    F.col("qnum").alias("subj_qnum"),
+                    obj_num.alias("obj_qnum"),
+                ).where(obj_num != F.col("qnum"))
+            )
     out = edges[0]
     for x in edges[1:]:
         out = out.unionByName(x)
     return out.dropDuplicates(["subj_qid", "rel", "obj_qid"])
 
 
+_DIMS_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def build_dims(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All dimension tables for an sf dir (small → broadcast at join time)."""
+    """All dimension tables for an sf dir (small → broadcast at join time).
+
+    Cached + persisted per (session, sf_dir): the dims are the pipeline's
+    static entity profile — built once, reused by every downstream query
+    (the reference mmaps them once per worker; we ``.cache()`` once per
+    executor)."""
+    key = (id(spark), sf_dir)
+    if key in _DIMS_CACHE:
+        return _DIMS_CACHE[key]
     docs = read_documents(spark, sf_dir)
-    aliases = alias_vocab(docs)
-    ents = entities_dim(aliases)
-    return {
+    aliases = alias_vocab(docs).cache()
+    ents = entities_dim(aliases).cache()
+    dims = {
         "documents": docs,
         "aliases": aliases,
         "entities": ents,
-        "alias_cands": alias_cands(ents),
-        "kg_relations": kg_relations(ents),
+        "alias_cands": alias_cands(ents).cache(),
+        "kg_relations": kg_relations(ents).cache(),
     }
+    _DIMS_CACHE[key] = dims
+    return dims

@@ -26,7 +26,10 @@ SCORE_MULT_VARIANT = 57
 SCORE_MOD = 100
 TYPE_NAMES = ("organization", "place", "concept")
 REL_NAMES = ("works_with", "located_in", "part_of")
-# kg edge k -> obj: 3 + ((k*A + B) % (3*n_aliases))
+# kg edges are alias-targeted: entity k points at target alias
+# t = 1 + ((k*A + B) % n_aliases), with one edge per target VARIANT
+# (obj qnum = t*3 + v2, rel = REL_NAMES[(k + v2) % 3]) — so whichever
+# variant a scorer picks for the co-mentioned alias, an edge exists
 KG_EDGES = ((7, 5), (13, 1))
 
 # entity-string budgets (reference defaults, bootleg_args.py:85-109)

@@ -56,6 +56,26 @@ def test_neural_triples_deterministic_across_partitioning(pipe, spark):
     assert len(t1) > 0
 
 
+def test_semijoin_plan_equals_naive_pairs_plan(pipe, spark):
+    """triples_from_doc_entities (production, no pair blowup) must equal
+    emit_triples(cooccurrence_pairs(...)) (naive O(k²) reference form)."""
+    from bootleg_spark.operators.triples import (
+        cooccurrence_pairs,
+        doc_entities,
+        emit_triples,
+        triples_from_doc_entities,
+    )
+
+    linked = pipe.linked(extractor="word", scorer="popularity")
+    ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
+    fast = {tuple(r) for r in triples_from_doc_entities(ents, pipe.dims["kg_relations"]).collect()}
+    naive = {
+        tuple(r)
+        for r in emit_triples(cooccurrence_pairs(ents), pipe.dims["kg_relations"]).collect()
+    }
+    assert fast == naive and len(fast) > 0
+
+
 def test_neural_linking_subset_of_candidates(pipe):
     linked = pipe.linked()
     rows = linked.select("alias", "qid_pred", "cand_qids", "prob").collect()
