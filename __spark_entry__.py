@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -194,6 +195,57 @@ def _q_triples_neural(spark, sf_dir):
     return _pipe(spark, sf_dir).triples()
 
 
+def _q_context_windows(spark, sf_dir):
+    """Context-window extraction (dataset.py:173-224) over word mentions,
+    with char spans derived relationally — the oracle re-implements the
+    window arithmetic independently in SQL list ops, pinning the UDF."""
+    from pyspark.sql.types import StringType
+
+    from bootleg_spark.functions.textproc import extract_context
+
+    m, d = _word_mentions(spark, sf_dir)
+    joined = m.join(d["documents"].select("doc_id", "text"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    p = F.col("mention_pos").cast("int")
+    char_start = F.when(p == 0, F.lit(0)).otherwise(
+        F.length(F.concat_ws(" ", F.slice(words, F.lit(1), p))) + 1
+    )
+    char_end = char_start + F.length(F.element_at(words, p + 1))
+
+    @F.pandas_udf(StringType())
+    def _ctx(text: pd.Series, cs: pd.Series, ce: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_context((int(a), int(b)), t, 64) for t, a, b in zip(text, cs, ce)]
+        )
+
+    return joined.select(
+        "doc_id",
+        "mention_pos",
+        _ctx(F.col("text"), char_start, char_end).alias("context"),
+    )
+
+
+def _q_relations_between(spark, sf_dir):
+    return stats.relations_between(_dims(spark, sf_dir)["kg_relations"])
+
+
+def _q_uniqueness_check(spark, sf_dir):
+    m, _ = _word_mentions(spark, sf_dir)
+    return stats.duplicate_key_count(m, ["doc_id", "mention_pos"])
+
+
+def _q_slice_sampling(spark, sf_dir):
+    linked, d = _linked_pop(spark, sf_dir)
+    with_slice = linked.join(
+        d["documents"].select("doc_id", F.col("lang").alias("slice_name")), "doc_id"
+    )
+    return stats.slice_sampling_stats(with_slice)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
 def _q_predictions_writeback(spark, sf_dir):
     from bootleg_spark.operators.predictions import merge_predictions
 
@@ -310,6 +362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qid_count_buckets": _q_qid_count_buckets,
         "slice_eval": _q_slice_eval,
         "recall_at_k": _q_recall_at_k,
+        # feature construction: context windows (oracle-pinned UDF)
+        "context_windows": _q_context_windows,
+        # KG lookups / verification / sampling
+        "relations_between": _q_relations_between,
+        "uniqueness_check": _q_uniqueness_check,
+        "slice_sampling": _q_slice_sampling,
         # prediction assembly / write-back + filters + pruning
         "predictions_writeback": _q_predictions_writeback,
         "prune_to_entities": _q_prune_to_entities,
@@ -326,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_signbit_lsh": _q_ann_signbit_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         # text analysis
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -435,6 +494,84 @@ LEFT JOIN (
   GROUP BY k.subj_qid
 ) kg ON e.qid = kg.qid""",
         ),
+        "context_windows": O.with_ctes(
+            O.WORDS, O.ALIASES, O.MENTIONS,
+            """
+ctx AS (
+  SELECT m.doc_id, m.mention_pos,
+         string_split(d.text, ' ') AS ws,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+         m.mention_pos AS p
+  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, mention_pos, n, p,
+         list_slice(ws, 1, p) || ['[ent_start]', ws[p + 1], '[ent_end]']
+           || list_slice(ws, p + 2, n) AS t
+  FROM ctx
+),
+win AS (
+  SELECT doc_id, mention_pos,
+    CASE WHEN p < n - 1 - p THEN
+      array_to_string(
+        list_slice(t, greatest(p - 32, 0) + 1, p)
+        || list_slice(t, p + 1, least(p + 3 + 64 - (p - greatest(p - 32, 0)), n + 2)),
+        ' ')
+    ELSE
+      array_to_string(
+        list_slice(t, greatest(p - (64 - (least(p + 3 + 32, n + 2) - (p + 3))), 0) + 1, p + 3)
+        || list_slice(t, p + 4, least(p + 3 + 32, n + 2)),
+        ' ')
+    END AS context
+  FROM toks
+)""",
+            final="SELECT doc_id, mention_pos, context FROM win",
+        ),
+        "relations_between": O.with_ctes(
+            *O.BASE,
+            final="""SELECT subj_qid, obj_qid, list(rel ORDER BY rel) AS rels
+FROM kg_relations GROUP BY subj_qid, obj_qid""",
+        ),
+        "uniqueness_check": O.with_ctes(
+            O.WORDS, O.ALIASES, O.MENTIONS,
+            final="""SELECT CAST(count(*) AS BIGINT) AS n_dupes FROM (
+  SELECT doc_id, mention_pos FROM mentions GROUP BY doc_id, mention_pos HAVING count(*) > 1
+)""",
+        ),
+        "slice_sampling": O.with_ctes(
+            *O.BASE[:4], O.MENTIONS, O.LINKED,
+            final="""SELECT d.lang AS slice_name,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_docs
+FROM linked l JOIN documents d ON l.doc_id = d.doc_id GROUP BY d.lang""",
+        ),
+        "ann_ivf_topk": """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+                      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6) DESC,
+                      c.cell ASC) AS rnk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+       cos_sim
+FROM scored QUALIFY rank <= 5""",
         "predictions_writeback": O.with_ctes(
             *O.BASE[:4], O.MENTIONS, O.LINKED,
             final="""SELECT doc_id,

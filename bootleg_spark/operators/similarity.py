@@ -76,6 +76,58 @@ def signbit_bucket(vec_col, bits: int = 8):
     return out.cast("long")
 
 
+def ivf_assign(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment with deterministic centroids (the first
+    ``n_cells`` vectors — a seed-free stand-in for k-means; a real build
+    would Lloyd-iterate the same dataflow). cell = argmax cosine to a
+    centroid, ties by lowest centroid id. Broadcast centroids, one scan."""
+    cents = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN: search only within the query's cell (nprobe=1).
+    Turns O(Q·N) into O(Q·N/cells) at a recall tradeoff — the scale path
+    (the reference's analogue is the faiss index in cand_gen/eval.py)."""
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    q = assigned.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
+    )
+
+
 def signbit_lsh_topk(
     emb: DataFrame,
     n_queries: int = 10,

@@ -65,6 +65,33 @@ def qid_count_buckets(counts: DataFrame, n_quantiles: int = 21) -> DataFrame:
     )
 
 
+def duplicate_key_count(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Uniqueness-verification job (dataset.py:723-734 asserts
+    (sent_idx, subsent_idx) unique): one row with the number of key groups
+    that occur more than once (0 = invariant holds)."""
+    dupes = df.groupBy(*keys).count().where(F.col("count") > 1)
+    return dupes.agg(F.count("*").cast("long").alias("n_dupes"))
+
+
+def slice_sampling_stats(
+    linked: DataFrame, slice_col: str = "slice_name", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-slice sampling stats (scripts sample_eval_data.py:69-150):
+    mention count + distinct-page count per slice."""
+    return linked.groupBy(F.col(slice_col).alias("slice_name")).agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )
+
+
+def relations_between(kg_relations: DataFrame) -> DataFrame:
+    """(subj_qid, obj_qid, rels): the sorted relation set linking each
+    entity pair (kg_symbols.get_relations_between, kg_symbols.py:191-210)."""
+    return kg_relations.groupBy("subj_qid", "obj_qid").agg(
+        F.array_sort(F.collect_list("rel")).alias("rels")
+    )
+
+
 def slice_eval(
     linked: DataFrame,
     gold_col: str = "qid_gold",
