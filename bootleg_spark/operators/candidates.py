@@ -54,14 +54,17 @@ def attach_candidates(
     max_candidates: int = S.MAX_CANDIDATES,
     train_in_candidates: bool = True,
     keep_unmatched: bool = False,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast-join candidate arrays onto the mention stream.
 
     ``train_in_candidates=False`` prepends the NC slot (qid "NC", eid 0)
     exactly like map_aliases_to_candidates (eval_utils.py:59-87).
     Unmatched aliases get all-pad lists when ``keep_unmatched``.
+    Pass ``grouped`` (a cached grouped_candidates frame) to skip
+    rebuilding the aggregation on every query.
     """
-    cands = grouped_candidates(alias_cands, max_candidates)
+    cands = grouped if grouped is not None else grouped_candidates(alias_cands, max_candidates)
     how = "left" if keep_unmatched else "inner"
     out = mentions.join(F.broadcast(cands), "alias", how)
     if keep_unmatched:

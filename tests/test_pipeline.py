@@ -38,6 +38,20 @@ def test_popularity_triples_nonempty_and_valid(pipe):
     assert len({(r["subj"], r["pred"], r["obj"]) for r in rows}) == len(rows)
 
 
+def test_fused_local_triples_equal_staged_semijoin(pipe):
+    """①–⑤-in-one-pass triples must equal the staged (linked → semi-join)
+    plan exactly."""
+    fused = {tuple(r) for r in pipe.triples_fused_local().collect()}
+    from bootleg_spark.operators.triples import doc_entities, triples_from_doc_entities
+
+    linked = pipe.linked()
+    ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
+    staged = {
+        tuple(r) for r in triples_from_doc_entities(ents, pipe.dims["kg_relations"]).collect()
+    }
+    assert fused == staged and len(fused) > 0
+
+
 def test_neural_triples_deterministic_across_partitioning(pipe, spark):
     """Partition-invariance: same triple set whether the input is 1 or 16
     partitions (the in-process analogue of the reference's 1-vs-2-worker
@@ -74,6 +88,22 @@ def test_semijoin_plan_equals_naive_pairs_plan(pipe, spark):
         for r in emit_triples(cooccurrence_pairs(ents), pipe.dims["kg_relations"]).collect()
     }
     assert fast == naive and len(fast) > 0
+
+
+def test_fused_equals_staged(pipe):
+    """The single-pass mapInPandas path must produce exactly the staged
+    chain's linked mentions (and therefore identical triples)."""
+    staged = {
+        (r["url"], r["mention_pos"], r["alias"], r["char_start"], r["char_end"],
+         r["qid_pred"], round(r["prob"], 9))
+        for r in pipe.linked().collect()
+    }
+    fused = {
+        (r["url"], r["mention_pos"], r["alias"], r["char_start"], r["char_end"],
+         r["qid_pred"], round(r["prob"], 9))
+        for r in pipe.linked_fused().collect()
+    }
+    assert fused == staged and len(fused) > 0
 
 
 def test_neural_linking_subset_of_candidates(pipe):
