@@ -318,6 +318,13 @@ def _q_ann_signbit_lsh(spark, sf_dir):
     return similarity.signbit_lsh_topk(_emb(spark, sf_dir))
 
 
+def _q_events_sessions(spark, sf_dir):
+    from bootleg_spark.operators.sessions import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events)
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.lang_id_heuristic(_docs(spark, sf_dir))
 
@@ -385,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_signbit_lsh": _q_ann_signbit_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        # event-time sessionization (window functions over the stream table)
+        "events_sessions": _q_events_sessions,
         # text analysis
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -686,6 +695,25 @@ SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
        cos_sim
 FROM scored QUALIFY rank <= 5""",
+        "events_sessions": """
+WITH marked AS (
+  SELECT user_id, event_id, floor(epoch(ts)) AS e, value,
+         CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+                OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, e, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(e) AS BIGINT) AS start_epoch,
+       CAST(max(e) AS BIGINT) AS end_epoch,
+       round(sum(value), 6) AS total_value
+FROM sessions GROUP BY user_id, session_id""",
         "lang_id": """
 WITH c AS (
   SELECT doc_id AS id,

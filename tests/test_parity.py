@@ -1,0 +1,79 @@
+"""Triple P/R gate (BASELINE.json: P/R ≥ 0.95 vs the reference pipeline).
+
+The reference's BootlegAnnotator cannot run here (no torch/transformers/
+spaCy), so the parity oracle is a single-process annotator that walks the
+reference's control flow (bootleg_annotator.py §3.1: per-text mention
+extraction → candidate fetch → per-mention scoring → threshold →
+per-page relation emission) in plain Python loops — independently of any
+Spark plan, partitioning, join order, or UDF batching. The distributed
+pipeline must reproduce its triple set at P/R ≥ 0.95 (expected: 1.0).
+
+The scalar semantics themselves (lnrm, filters, windowing, masked
+softmax) are pinned to the reference by the unit goldens in
+test_mentions.py / test_textproc.py / test_scoring.py, and relationally
+by the DuckDB oracle gate.
+"""
+
+import numpy as np
+
+from bootleg_spark.functions.embedding import featurize_texts, score_batch
+from bootleg_spark.functions.textproc import extract_context, extract_html_text
+from bootleg_spark.operators.mentions import ngram_extract_aliases
+from bootleg_spark.plans.pipeline import KgPipeline
+from bootleg_spark import synthspec as S
+from tests.conftest import SF_SMOKE
+
+
+def single_process_annotator(pages_rows, aliases, cand_dict, qid2row, mat, rel_dict):
+    """Reference-shaped sequential annotator → set of (subj, pred, obj)."""
+    triples = set()
+    for row in pages_rows:
+        text = extract_html_text(bytes(row["html"]))
+        mentions = ngram_extract_aliases(text, aliases)
+        if not mentions:
+            continue
+        ctxs = [extract_context((s, e), text, S.MAX_SEQ_WINDOW_LEN) for _, s, e in mentions]
+        cands = [cand_dict[a] for a, _, _ in mentions]
+        ctx = featurize_texts(ctxs, S.EMB_DIM)
+        n, k = len(mentions), max(len(c) for c in cands)
+        ent = np.zeros((n, k, S.EMB_DIM))
+        mask = np.zeros((n, k), dtype=bool)
+        for i, cl in enumerate(cands):
+            for j, q in enumerate(cl):
+                r = qid2row.get(q)
+                if r is not None:
+                    ent[i, j] = mat[r]
+                    mask[i, j] = True
+        probs, arg = score_batch(ctx, ent, mask)
+        top = probs[np.arange(n), arg]
+        ents = {
+            cands[i][arg[i]]
+            for i in range(n)
+            if mask[i].any() and top[i] > S.PROB_THRESHOLD
+        }
+        for q in ents:
+            for rel, obj in rel_dict.get(q, ()):
+                if obj in ents and obj != q:
+                    triples.add((q, rel, obj))
+    return triples
+
+
+def test_triple_precision_recall_vs_sequential_reference(spark):
+    pipe = KgPipeline(spark, SF_SMOKE)
+    pages_rows = pipe.pages().select("html").collect()
+    expected = single_process_annotator(
+        pages_rows,
+        pipe.alias_set_bc.value,
+        pipe.cand_dict_bc.value,
+        pipe.ent_matrix_bc.value[0],
+        pipe.ent_matrix_bc.value[1],
+        pipe.rel_dict_bc.value,
+    )
+    got = {tuple(r) for r in pipe.triples().select("subj", "pred", "obj").collect()}
+    assert len(expected) > 0
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # with a deterministic scorer the match should in fact be exact
+    assert got == expected
