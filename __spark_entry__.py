@@ -246,6 +246,22 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_candidates_with_nc(spark, sf_dir):
+    """Padded candidate arrays with the NC (not-in-candidates) slot
+    prepended — the train_in_candidates=False shape
+    (eval_utils.py:59-114: NC→eid 0, "-1" pad→eid 1)."""
+    from bootleg_spark.operators.candidates import grouped_candidates
+
+    d = _dims(spark, sf_dir)
+    g = grouped_candidates(d["alias_cands"])
+    nc = g.select(
+        "alias",
+        F.concat(F.array(F.lit("NC")), "cand_qids").alias("cand_qids"),
+        F.concat(F.array(F.lit(0).cast("long")), "cand_eids").alias("cand_eids"),
+    )
+    return nc
+
+
 def _q_predictions_writeback(spark, sf_dir):
     from bootleg_spark.operators.predictions import merge_predictions
 
@@ -375,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relations_between": _q_relations_between,
         "uniqueness_check": _q_uniqueness_check,
         "slice_sampling": _q_slice_sampling,
+        # candidate arrays with NC slot (train_in_candidates=False shape)
+        "candidates_with_nc": _q_candidates_with_nc,
         # prediction assembly / write-back + filters + pruning
         "predictions_writeback": _q_predictions_writeback,
         "prune_to_entities": _q_prune_to_entities,
@@ -581,6 +599,25 @@ SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
        cos_sim
 FROM scored QUALIFY rank <= 5""",
+        "candidates_with_nc": O.with_ctes(
+            *O.BASE[:4],
+            f"""
+grouped AS (
+  SELECT alias,
+         list(qid ORDER BY rank) AS qids,
+         list(qnum ORDER BY rank) AS eids,
+         count(*) AS n
+  FROM alias_cands GROUP BY alias
+)""",
+            final=f"""SELECT alias,
+       ['NC'] || qids || (CASE WHEN n < {S.MAX_CANDIDATES}
+           THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> '-1')
+           ELSE [] END) AS cand_qids,
+       [CAST(0 AS BIGINT)] || eids || (CASE WHEN n < {S.MAX_CANDIDATES}
+           THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> CAST(1 AS BIGINT))
+           ELSE [] END) AS cand_eids
+FROM grouped""",
+        ),
         "predictions_writeback": O.with_ctes(
             *O.BASE[:4], O.MENTIONS, O.LINKED,
             final="""SELECT doc_id,
