@@ -368,7 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations_dim": _q_kg_relations_dim,
         # ② mention extraction
         "mentions_word": _q_mentions_word,
-        "mentions_ngram": _q_mentions_ngram,  # no oracle: UDF path
+        "mentions_ngram": _q_mentions_ngram,
         # ③/④ linking
         "linked_popularity": _q_linked_popularity,
         "linked_neural": _q_linked_neural,  # no oracle: neural scorer
@@ -445,6 +445,49 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mentions_word": O.with_ctes(
             O.WORDS, O.ALIASES, O.MENTIONS, final="SELECT doc_id, mention_pos, alias FROM mentions"
+        ),
+        # Independent relational model of the n-gram extractor, valid for
+        # this corpus (single-token lowercase aliases, no punctuation):
+        # a token is a mention iff it is noun-ish (non-stopword,
+        # non-numeric), NOT split-noun-suppressed (no noun-ish neighbor),
+        # not a stopword boundary, and in the alias dict. Multi-token
+        # n-gram passes can never match a 1-token dictionary (the
+        # possessive-merge exception needs apostrophes, absent here).
+        "mentions_ngram": O.with_ctes(
+            O.WORDS, O.ALIASES,
+            f"""
+keepflags AS (
+  SELECT doc_id, mention_pos AS p, word,
+         (word NOT IN ({O._STOPLIST_SQL})
+          AND NOT regexp_matches(word, '^[0-9]+$')
+          AND len(word) > 0) AS nounish
+  FROM words
+),
+kept AS (
+  SELECT k.doc_id, k.p, k.word
+  FROM keepflags k
+  LEFT JOIN keepflags l ON l.doc_id = k.doc_id AND l.p = k.p - 1
+  LEFT JOIN keepflags r ON r.doc_id = k.doc_id AND r.p = k.p + 1
+  WHERE k.nounish
+    AND NOT coalesce(l.nounish, FALSE)
+    AND NOT coalesce(r.nounish, FALSE)
+    AND k.word NOT IN ({O._STOPLIST_SQL})
+    AND k.word IN (SELECT alias FROM aliases)
+),
+spans AS (
+  SELECT k.doc_id, k.p, k.word,
+         CAST(CASE WHEN k.p = 0 THEN 0
+              ELSE strlen(array_to_string(list_slice(string_split(d.text, ' '), 1, k.p), ' ')) + 1
+         END AS BIGINT) AS char_start
+  FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+)
+""",
+            final=f"""SELECT '{S.URL_PREFIX}' || d.lang || '/' || CAST(s.doc_id AS VARCHAR) AS url,
+       CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.char_start) - 1 AS BIGINT) AS mention_pos,
+       s.word AS alias,
+       s.char_start,
+       s.char_start + strlen(s.word) AS char_end
+FROM spans s JOIN documents d ON s.doc_id = d.doc_id""",
         ),
         "linked_popularity": O.with_ctes(
             *O.BASE[:4], O.MENTIONS, O.LINKED,
