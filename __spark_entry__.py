@@ -399,13 +399,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_gold_filter": _q_mentions_gold_filter,
         # multimodal binary-column plumbing
         "media_metadata": _q_media_metadata,
-        "media_features": _q_media_features,  # no oracle: mapInPandas stage
+        "media_features": _q_media_features,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_bands,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "simhash_near_pairs": _q_simhash_near_pairs,  # no oracle
+        "simhash_near_pairs": _q_simhash_near_pairs,
         # similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_signbit_lsh": _q_ann_signbit_lsh,
@@ -689,6 +689,34 @@ SELECT '{S.URL_PREFIX}' || lang || '/' || CAST(doc_id AS VARCHAR) AS id,
        ) AS BIGINT) AS n_bytes,
        'html' AS kind
 FROM documents""",
+        # byte-histogram features: valid oracle because the synthetic html
+        # is pure ASCII (byte value == ascii(char))
+        "media_features": f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>p{{margin:0}}</style></head><body><nav>home | about</nav><p>' ||
+         text ||
+         '</p><script>var v=' || CAST(doc_id AS VARCHAR) ||
+         ';</script><footer>copyright example.org</footer></body></html>' AS s
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, ascii(substring(s, CAST(t.i AS INTEGER) + 1, 1)) % 8 AS b, strlen(s) AS total
+  FROM h, LATERAL (SELECT unnest(range(0, strlen(s))) AS i) t
+),
+hist AS (
+  SELECT d.doc_id, d.total, j.j AS bucket, coalesce(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT doc_id, total FROM bytes) d
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+  LEFT JOIN (SELECT doc_id, b, count(*) AS cnt FROM bytes GROUP BY doc_id, b) c
+    ON c.doc_id = d.doc_id AND c.b = j.j
+)
+SELECT '{S.URL_PREFIX}' || h.lang || '/' || CAST(h.doc_id AS VARCHAR) AS id,
+       f.feat
+FROM (SELECT doc_id, list(round(cnt * 1.0 / total, 6) ORDER BY bucket) AS feat
+      FROM hist GROUP BY doc_id) f
+JOIN h ON h.doc_id = f.doc_id""",
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text)"
@@ -743,6 +771,31 @@ SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
        round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id
 WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.2""",
+        # SimHash reconstructed bit-by-bit from md5 hex nibbles (HUGEINT
+        # shifts keep 64-bit precision); band trick identical to Spark's
+        # shiftrightunsigned on the unsigned representation
+        "simhash_near_pairs": """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+md AS (SELECT id, md5(w) AS m FROM toks),
+bits AS (
+  SELECT id, b.i AS i,
+         CASE WHEN ((strpos('0123456789abcdef', substring(m, 16 - (b.i // 4), 1)) - 1) >> (b.i % 4)) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM md CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+),
+votes AS (SELECT id, i, sum(vote) AS v FROM bits GROUP BY id, i),
+sig AS (
+  SELECT id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(i AS INTEGER)) ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY id
+),
+bands AS (
+  SELECT id, b.band AS band, CAST((u >> (CAST(b.band AS INTEGER) * 16)) % 65536 AS BIGINT) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id""",
         "ann_cosine_topk": """
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
