@@ -320,6 +320,12 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_minhash_verified_pairs(spark, sf_dir):
+    return dedup.minhash_verified_pairs(_docs(spark, sf_dir), threshold=0.2).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
 def _q_simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_docs(spark, sf_dir)).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _q_minhash_bands,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_verified_pairs": _q_minhash_verified_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         # similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -770,6 +777,34 @@ inter AS (
 SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
        round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.2""",
+        "minhash_verified_pairs": """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s.shingle
+  FROM documents,
+  LATERAL (
+    SELECT array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ') AS shingle
+    FROM unnest(range(0, greatest(len(string_split(text,' ')) - 2, 0))) AS t(i)
+  ) s
+  WHERE len(s.shingle) > 0
+),
+buckets AS (
+  SELECT id, b.band AS band, min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band)
+  GROUP BY id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.min_hash = b.min_hash AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.2""",
         # SimHash reconstructed bit-by-bit from md5 hex nibbles (HUGEINT
         # shifts keep 64-bit precision); band trick identical to Spark's

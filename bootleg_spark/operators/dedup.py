@@ -140,6 +140,41 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard two-stage near-dup pipeline: cheap LSH banding
+    proposes candidate pairs, exact Jaccard over shingle sets verifies
+    them. At corpus scale the verify join touches only candidate pairs,
+    never all O(N²)."""
+    cand = minhash_lsh_pairs(docs, n_bands, shingle_n, text_col, id_col)
+    sh = word_shingles(docs, shingle_n, text_col, id_col)
+    sizes = _doc_sizes(sh)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def simhash_signatures(
     docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
