@@ -226,7 +226,11 @@ def _q_context_windows(spark, sf_dir):
 
 
 def _q_relations_between(spark, sf_dir):
-    return stats.relations_between(_dims(spark, sf_dir)["kg_relations"])
+    # '|'-joined rel list: driver-canonicalizable scalar (the operator's
+    # native array shape is kept for API users; see stats.relations_between)
+    return stats.relations_between(_dims(spark, sf_dir)["kg_relations"]).select(
+        "subj_qid", "obj_qid", F.concat_ws("|", "rels").alias("rels")
+    )
 
 
 def _q_uniqueness_check(spark, sf_dir):
@@ -259,14 +263,25 @@ def _q_candidates_with_nc(spark, sf_dir):
         F.concat(F.array(F.lit("NC")), "cand_qids").alias("cand_qids"),
         F.concat(F.array(F.lit(0).cast("long")), "cand_eids").alias("cand_eids"),
     )
-    return nc
+    # stringify arrays so the driver canonicalizer can hash them
+    return nc.select(
+        "alias",
+        F.concat_ws("|", "cand_qids").alias("cand_qids"),
+        F.concat_ws("|", F.transform("cand_eids", lambda x: x.cast("string"))).alias("cand_eids"),
+    )
 
 
 def _q_predictions_writeback(spark, sf_dir):
     from bootleg_spark.operators.predictions import merge_predictions
 
     linked, _ = _linked_pop(spark, sf_dir)
-    return merge_predictions(linked, qid_col="qid")
+    merged = merge_predictions(linked, qid_col="qid")
+    # stringify the per-doc arrays for the driver canonicalizer
+    return merged.select(
+        "doc_id",
+        F.concat_ws("|", "aliases").alias("aliases"),
+        F.concat_ws("|", "qids").alias("qids"),
+    )
 
 
 def _q_prune_to_entities(spark, sf_dir):
@@ -295,7 +310,11 @@ def _q_media_features(spark, sf_dir):
     from bootleg_spark.operators.multimodal import extract_media_features
 
     feats = extract_media_features(synth.pages_table(spark, sf_dir))
-    return feats.select("id", F.transform("feat", lambda x: F.round(x, 6)).alias("feat"))
+    # explode the feature vector to (id, bucket, feat_val) scalar rows so
+    # the driver canonicalizer can sort/hash them
+    return feats.select("id", F.posexplode("feat").alias("bucket", "feat_val")).select(
+        "id", F.col("bucket").cast("long").alias("bucket"), F.round("feat_val", 6).alias("feat_val")
+    )
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -606,7 +625,7 @@ win AS (
         ),
         "relations_between": O.with_ctes(
             *O.BASE,
-            final="""SELECT subj_qid, obj_qid, list(rel ORDER BY rel) AS rels
+            final="""SELECT subj_qid, obj_qid, string_agg(rel, '|' ORDER BY rel) AS rels
 FROM kg_relations GROUP BY subj_qid, obj_qid""",
         ),
         "uniqueness_check": O.with_ctes(
@@ -660,19 +679,21 @@ grouped AS (
   FROM alias_cands GROUP BY alias
 )""",
             final=f"""SELECT alias,
-       ['NC'] || qids || (CASE WHEN n < {S.MAX_CANDIDATES}
-           THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> '-1')
-           ELSE [] END) AS cand_qids,
-       [CAST(0 AS BIGINT)] || eids || (CASE WHEN n < {S.MAX_CANDIDATES}
-           THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> CAST(1 AS BIGINT))
-           ELSE [] END) AS cand_eids
+       array_to_string(
+         ['NC'] || qids || (CASE WHEN n < {S.MAX_CANDIDATES}
+             THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> '-1')
+             ELSE [] END), '|') AS cand_qids,
+       array_to_string(list_transform(
+         [CAST(0 AS BIGINT)] || eids || (CASE WHEN n < {S.MAX_CANDIDATES}
+             THEN list_transform(range(1, {S.MAX_CANDIDATES} - CAST(n AS INTEGER) + 1), x -> CAST(1 AS BIGINT))
+             ELSE [] END), x -> CAST(x AS VARCHAR)), '|') AS cand_eids
 FROM grouped""",
         ),
         "predictions_writeback": O.with_ctes(
             *O.BASE[:4], O.MENTIONS, O.LINKED,
             final="""SELECT doc_id,
-       list(alias ORDER BY mention_pos) AS aliases,
-       list(qid ORDER BY mention_pos) AS qids
+       string_agg(alias, '|' ORDER BY mention_pos) AS aliases,
+       string_agg(qid, '|' ORDER BY mention_pos) AS qids
 FROM linked GROUP BY doc_id""",
         ),
         "prune_to_entities": O.with_ctes(
@@ -720,10 +741,9 @@ hist AS (
     ON c.doc_id = d.doc_id AND c.b = j.j
 )
 SELECT '{S.URL_PREFIX}' || h.lang || '/' || CAST(h.doc_id AS VARCHAR) AS id,
-       f.feat
-FROM (SELECT doc_id, list(round(cnt * 1.0 / total, 6) ORDER BY bucket) AS feat
-      FROM hist GROUP BY doc_id) f
-JOIN h ON h.doc_id = f.doc_id""",
+       CAST(hist.bucket AS BIGINT) AS bucket,
+       round(hist.cnt * 1.0 / hist.total, 6) AS feat_val
+FROM hist JOIN h ON h.doc_id = hist.doc_id""",
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text)"

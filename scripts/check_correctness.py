@@ -26,6 +26,13 @@ TABLES = [
 ]
 
 
+class UnhashableColumn(TypeError):
+    """Raised for list/array cells: the DRIVER's canonicalizer (pandas
+    lexsort) cannot hash them, so the mirror must reject them too —
+    round 1 shipped four queries the local gate passed and the driver
+    err'd on (VERDICT r1 'What's wrong' #1)."""
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -36,7 +43,7 @@ def norm_cell(v):
             return str(int(v))
         return f"{v:.6g}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        raise UnhashableColumn("array-typed output column — driver gate would err")
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return str(v)
@@ -89,7 +96,12 @@ def main():
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
-        ok_hash = ok_cols and digest(srows, scols) == digest(orows, ocols)
+        try:
+            ok_hash = ok_cols and digest(srows, scols) == digest(orows, ocols)
+        except UnhashableColumn as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         status = "PASS" if (ok_cols and ok_rows and ok_hash) else "FAIL"
         if status == "PASS":
             n_pass += 1
