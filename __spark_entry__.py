@@ -164,6 +164,26 @@ def _q_entity_strings(spark, sf_dir):
     return _pipe(spark, sf_dir).ent_strs.select("qid", "ent_str")
 
 
+def _q_entity_strings_multi(spark, sf_dir):
+    """Entity strings over a NAMED multi-type system: the 'hyena' system
+    of the synthetic profile carries 3 typenames per entity and the
+    4-word [ent_type] budget keeps exactly 2 — pinning both the
+    multi-type composition and structural_entity_str truncation
+    (dataset.py:227-337) in SQL."""
+    from bootleg_spark import synthspec as S2
+    from bootleg_spark.functions.textproc import EntityStringConstants
+    from bootleg_spark.operators.linking import entity_strings
+    from bootleg_spark.sources.profile import profile_entity_types
+
+    d = _dims(spark, sf_dir)
+    etypes = profile_entity_types(_profile(spark, sf_dir), max_types=10)
+    consts = EntityStringConstants(max_ent_kg_len=S2.MAX_ENT_KG_LEN, max_ent_type_len=4)
+    return entity_strings(
+        d["entities"], d["kg_relations"], entity_types=etypes,
+        type_system="hyena", constants=consts,
+    ).select("qid", "ent_str")
+
+
 def _q_mentions_ngram(spark, sf_dir):
     pipe = _pipe(spark, sf_dir)
     p = extract_text(pipe.pages())
@@ -317,6 +337,41 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _profile(spark, sf_dir):
+    return synth.synthetic_profile(spark, sf_dir)
+
+
+def _q_profile_entities_dim(spark, sf_dir):
+    from bootleg_spark.sources.profile import profile_entities
+
+    return profile_entities(_profile(spark, sf_dir)).select("qid", "eid", "title", "descr")
+
+
+def _q_profile_alias_cands(spark, sf_dir):
+    from bootleg_spark.sources.profile import profile_alias_candidates
+
+    return profile_alias_candidates(_profile(spark, sf_dir)).select(
+        "alias", "qid", "score", "rank"
+    )
+
+
+def _q_profile_entity_types(spark, sf_dir):
+    from bootleg_spark.sources.profile import profile_entity_types
+
+    t = profile_entity_types(_profile(spark, sf_dir), max_types=2)
+    return t.select("qid", "type_system", F.posexplode("typenames").alias("type_pos", "type_name")).select(
+        "qid", "type_system", F.col("type_pos").cast("long").alias("type_pos"), "type_name"
+    )
+
+
+def _q_profile_kg_relations(spark, sf_dir):
+    from bootleg_spark.sources.profile import profile_kg_relations
+
+    # max_connections=1 so the per-(qid, rel) truncation actually drops
+    # rows on this corpus (246 of 261 groups carry 2 objects)
+    return profile_kg_relations(_profile(spark, sf_dir), max_connections=1)
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -402,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_neural": _q_triples_neural,  # no oracle
         # entity strings (feature construction)
         "entity_strings": _q_entity_strings,
+        "entity_strings_multi": _q_entity_strings_multi,
         # aggregations (SURVEY §2.4)
         "qid_counts": _q_qid_counts,
         "alias_histogram": _q_alias_histogram,
@@ -422,6 +478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predictions_writeback": _q_predictions_writeback,
         "prune_to_entities": _q_prune_to_entities,
         "mentions_gold_filter": _q_mentions_gold_filter,
+        # entity-profile JSONL ingestion path (profile → dim tables;
+        # entity_profile.py:146-204 re-expressed relationally)
+        "profile_entities_dim": _q_profile_entities_dim,
+        "profile_alias_cands": _q_profile_alias_cands,
+        "profile_entity_types": _q_profile_entity_types,
+        "profile_kg_relations": _q_profile_kg_relations,
         # multimodal binary-column plumbing
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
@@ -590,6 +652,25 @@ LEFT JOIN (
   GROUP BY k.subj_qid
 ) kg ON e.qid = kg.qid""",
         ),
+        # hyena types = [type_name, 'generic', 'thing']; 4-word budget
+        # keeps the first 2 -> ' [ent_type] t [ent_type] generic'
+        "entity_strings_multi": O.with_ctes(
+            *O.BASE,
+            final="""SELECT e.qid,
+  trim(regexp_replace(
+    trim(regexp_replace(e.title, '\\(.*\\)', '')) ||
+    ' [ent_type] ' || e.type_name || ' [ent_type] generic' ||
+    ' [ent_kg] ' || coalesce(kg.items, '') ||
+    ' [ent_desc] ' || e.descr,
+    ' +', ' ', 'g')) AS ent_str
+FROM entities e
+LEFT JOIN (
+  SELECT k.subj_qid AS qid,
+         string_agg(k.rel || ' ' || t.title, ' [ent_kg] ' ORDER BY k.rel, k.obj_qnum) AS items
+  FROM kg_relations k JOIN entities t ON k.obj_qid = t.qid
+  GROUP BY k.subj_qid
+) kg ON e.qid = kg.qid""",
+        ),
         "context_windows": O.with_ctes(
             O.WORDS, O.ALIASES, O.MENTIONS,
             """
@@ -705,6 +786,38 @@ FROM entities e WHERE e.qid IN (SELECT DISTINCT qid FROM linked)""",
         "mentions_gold_filter": O.with_ctes(
             O.WORDS, O.ALIASES, O.MENTIONS,
             final="SELECT doc_id, mention_pos, alias FROM mentions WHERE mention_pos % 2 = 0",
+        ),
+        # profile ingestion: the synthetic profile repackages the dim
+        # CTEs 1:1, so the oracles pin the profile->dims transformation
+        # (lnrm alias keys, (score desc, qid desc) candidate sort,
+        # max_types / max_connections order-preserving truncation)
+        "profile_entities_dim": O.with_ctes(
+            *O.BASE[:3],
+            final="""SELECT qid, CAST(row_number() OVER (ORDER BY qid) AS BIGINT) AS eid, title, descr
+FROM entities""",
+        ),
+        "profile_alias_cands": O.with_ctes(
+            *O.BASE[:3],
+            final=f"""SELECT alias, qid, score,
+       CAST(row_number() OVER (PARTITION BY alias ORDER BY score DESC, qid DESC) AS INTEGER) AS rank
+FROM entities
+QUALIFY rank <= {S.MAX_CANDIDATES}""",
+        ),
+        "profile_entity_types": O.with_ctes(
+            *O.BASE[:3],
+            final="""SELECT qid, type_system, CAST(type_pos AS BIGINT) AS type_pos, type_name FROM (
+  SELECT qid, 'wiki' AS type_system, 0 AS type_pos, type_name FROM entities
+  UNION ALL SELECT qid, 'hyena', 0, type_name FROM entities
+  UNION ALL SELECT qid, 'hyena', 1, 'generic' FROM entities
+)""",
+        ),
+        "profile_kg_relations": O.with_ctes(
+            *O.BASE,
+            final="""SELECT subj_qid, rel, obj_qid FROM (
+  SELECT subj_qid, rel, obj_qid,
+         row_number() OVER (PARTITION BY subj_qid, rel ORDER BY obj_qnum) AS rk
+  FROM kg_relations
+) WHERE rk <= 1""",
         ),
         "media_metadata": f"""
 SELECT '{S.URL_PREFIX}' || lang || '/' || CAST(doc_id AS VARCHAR) AS id,

@@ -49,11 +49,26 @@ def link_popularity(mention_cands: DataFrame) -> DataFrame:
 # Entity strings + static embeddings (one-time dim job)
 # ---------------------------------------------------------------------------
 
-def entity_strings(entities: DataFrame, kg_rel: DataFrame) -> DataFrame:
+def entity_strings(
+    entities: DataFrame,
+    kg_rel: DataFrame,
+    entity_types: DataFrame | None = None,
+    type_system: str | None = None,
+    constants: EntityStringConstants | None = None,
+) -> DataFrame:
     """(qid, eid, ent_str): the textual entity representation
-    "title [ent_type] t [ent_kg] rel tail_title .. [ent_desc] desc"
+    "title [ent_type] t.. [ent_kg] rel tail_title .. [ent_desc] desc"
     (dataset.py:251-337), built relationally + a vectorized UDF for the
     budget-truncation loop.
+
+    ``entity_types`` is an optional multi-system type dim
+    (qid, type_system, typenames) from
+    :mod:`bootleg_spark.sources.profile`; ``type_system`` selects the
+    NAMED system whose (already max_types-truncated) list feeds the
+    [ent_type] section — the reference configures exactly one system
+    per run via its type_symbols dir (dataset.py:116-130,
+    type_symbols.py:28-98). Without it, the entity dim's single
+    ``type_name`` column is used (round-1 behavior).
 
     KG items are "rel tail_title" in (rel, obj_qnum) order — the
     reference iterates its relation dict in insertion order
@@ -75,29 +90,39 @@ def entity_strings(entities: DataFrame, kg_rel: DataFrame) -> DataFrame:
             ),
         )
     )
-    consts = EntityStringConstants(
+    consts = constants or EntityStringConstants(
         max_ent_kg_len=S.MAX_ENT_KG_LEN, max_ent_type_len=S.MAX_ENT_TYPE_LEN
     )
 
     @F.pandas_udf(StringType())
     def _ent_str(
-        title: pd.Series, descr: pd.Series, type_name: pd.Series, kg: pd.Series
+        title: pd.Series, descr: pd.Series, typenames: pd.Series, kg: pd.Series
     ) -> pd.Series:
         out = []
-        for t, d, ty, k in zip(title, descr, type_name, kg):
+        for t, d, tys, k in zip(title, descr, typenames, kg):
             items = list(k) if k is not None else []
-            s, _, _, _ = build_entity_string(t or "", d, [ty] if ty else [], items, consts)
+            tylist = [x for x in (tys if tys is not None else []) if x]
+            s, _, _, _ = build_entity_string(t or "", d, tylist, items, consts)
             out.append(s)
         return pd.Series(out)
 
     joined = entities.join(F.broadcast(kg_items), "qid", "left").withColumn(
         "kg_items", F.coalesce("kg_items", F.array())
     )
+    if entity_types is not None:
+        tdim = entity_types
+        if type_system is not None:
+            tdim = tdim.where(F.col("type_system") == type_system)
+        joined = joined.join(
+            F.broadcast(tdim.select("qid", "typenames")), "qid", "left"
+        ).withColumn("typenames", F.coalesce("typenames", F.array().cast("array<string>")))
+    else:
+        joined = joined.withColumn("typenames", F.array(F.col("type_name")))
     return joined.select(
         "qid",
         "eid",
         "alias",
-        _ent_str("title", "descr", "type_name", "kg_items").alias("ent_str"),
+        _ent_str("title", "descr", "typenames", "kg_items").alias("ent_str"),
     )
 
 

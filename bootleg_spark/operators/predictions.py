@@ -73,9 +73,12 @@ def prune_to_entities(
     """Restrict the entity dim to a QID subset and re-assign contiguous
     eids starting at 2 (rows 0/1 stay reserved for NC/PAD) — the Spark
     form of EntityProfile.prune_to_entities (entity_symbols.py:756-796:
-    left-semi restriction + eid reindex)."""
-    from pyspark.sql import Window
+    left-semi restriction + eid reindex).
+
+    eids come from :func:`bootleg_spark.operators.ids.dense_ids` — a
+    two-phase distributed numbering, NOT a global single-partition
+    window (a single-task wall at the reference's 5.8 M entities)."""
+    from bootleg_spark.operators.ids import dense_ids
 
     kept = entities.join(keep_qids.select(F.col(qid_col).alias("qid")), "qid", "left_semi")
-    w = Window.orderBy("qnum")
-    return kept.withColumn("new_eid", (F.row_number().over(w) + 1).cast("long"))
+    return dense_ids(kept, "qnum", id_col="new_eid", start=2)

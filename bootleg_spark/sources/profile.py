@@ -1,0 +1,228 @@
+"""Entity-profile JSONL ingestion — the reference's entry point for
+user-supplied entity metadata, re-expressed as Spark reads + relational
+explodes.
+
+Reference semantics (all re-implemented, none copied):
+- format + pydantic schema: bootleg/symbols/entity_profile.py:25-33
+  (EntityObj) and :146-204 (load_from_jsonl; format example :158-169);
+- required keys ``entity_id``/``mentions``, defaults title=entity_id,
+  description="" (:225-240); duplicate entity_id is an error (:241-242);
+- alias keys are get_lnrm-normalized mentions (:246-249);
+- candidate lists sorted (score desc, qid desc) and truncated to
+  max_candidates (entity_symbols.py:305-316 via :93-96);
+- eids are dense 1-based ids, 0/-1 reserved (entity_symbols.py:43-45).
+  The reference numbers by *file insertion order*; a distributed engine
+  cannot (row order is partition-dependent), so we number by sorted
+  entity_id — documented deviation, still unique + contiguous + 1-based;
+- per-system type lists truncated to max_types preserving list order
+  (type_symbols.py:60-65);
+- per-(qid, relation) object lists truncated to max_connections
+  preserving list order (kg_symbols.py:70-81).
+
+Every transformation is a pure DataFrame plan: ``spark.read.json`` with
+an explicit schema (no sampling pass), posexplode for order-preserving
+truncation, map_entries for the type-system dict. The only Python is
+the Arrow-batched lnrm UDF, skipped on ASCII-only corpora via the
+codegen fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bootleg_spark.functions.lnrm import lnrm_ascii_col, lnrm_udf
+
+# Explicit schema: no inference pass over the data (at 100 TB an
+# inference scan would double the read), stable column types regardless
+# of which keys appear in the first partition.
+# ``mentions`` is JSON [["dog", 10.0], ...] — heterogeneous inner
+# arrays; read as array<array<string>> (Spark's JSON parser renders the
+# number token as its literal string) and cast the score on explode.
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("entity_id", StringType()),
+        StructField("mentions", ArrayType(ArrayType(StringType()))),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("types", MapType(StringType(), ArrayType(StringType()))),
+        StructField(
+            "relations",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("relation", StringType()),
+                        StructField("object", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("_corrupt", StringType()),
+    ]
+)
+
+
+def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a raw entity-profile JSONL file (entity_profile.py:146-204).
+
+    Missing optional keys get the reference defaults (title=entity_id,
+    description=''); malformed JSON lines land in ``_corrupt`` for
+    :func:`validate_profile` instead of failing the whole read.
+    """
+    df = spark.read.schema(PROFILE_SCHEMA).option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return df.select(
+        "entity_id",
+        "mentions",
+        F.coalesce("title", "entity_id").alias("title"),
+        F.coalesce("description", F.lit("")).alias("description"),
+        F.coalesce("types", F.create_map().cast(PROFILE_SCHEMA["types"].dataType)).alias("types"),
+        F.coalesce(
+            "relations", F.array().cast(PROFILE_SCHEMA["relations"].dataType)
+        ).alias("relations"),
+        "_corrupt",
+    )
+
+
+def validate_profile(profile: DataFrame) -> DataFrame:
+    """(entity_id, error) rows for every contract violation the
+    reference raises on (entity_profile.py:225-242): malformed JSON,
+    missing required keys, duplicate entity_id, malformed relation
+    pairs (null relation/object after schema projection)."""
+    corrupt = profile.where(F.col("_corrupt").isNotNull()).select(
+        F.col("entity_id"), F.lit("malformed json line").alias("error")
+    )
+    missing = profile.where(
+        F.col("_corrupt").isNull()
+        & (F.col("entity_id").isNull() | F.col("mentions").isNull())
+    ).select("entity_id", F.lit("missing required key (entity_id/mentions)").alias("error"))
+    dupes = (
+        profile.where(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("entity_id", F.lit("duplicate entity_id").alias("error"))
+    )
+    bad_rel = (
+        profile.select("entity_id", F.explode("relations").alias("r"))
+        .where(F.col("r.relation").isNull() | F.col("r.object").isNull())
+        .select("entity_id", F.lit("relation pair missing relation/object").alias("error"))
+    )
+    return corrupt.unionByName(missing).unionByName(dupes).unionByName(bad_rel)
+
+
+def assert_valid_profile(profile: DataFrame, max_show: int = 5) -> None:
+    """Raise ValueError listing up to ``max_show`` violations (mirrors
+    the reference's assert/ValueError behavior on bad lines)."""
+    bad = validate_profile(profile).take(max_show)
+    if bad:
+        msg = "; ".join(f"{r['entity_id']}: {r['error']}" for r in bad)
+        raise ValueError(f"invalid entity profile: {msg}")
+
+
+def profile_entities(profile: DataFrame, ascii_fast_path: bool = False) -> DataFrame:
+    """Entity dim (qid, eid, title, descr): dense 1-based eids by sorted
+    entity_id via the two-phase distributed numbering (no global
+    window) — entity_symbols.py:43-45 with the documented order
+    deviation (module docstring)."""
+    from bootleg_spark.operators.ids import dense_ids
+
+    ents = profile.select(
+        F.col("entity_id").alias("qid"),
+        "title",
+        F.col("description").alias("descr"),
+    )
+    return dense_ids(ents, "qid", id_col="eid", start=1)
+
+
+def profile_alias_candidates(
+    profile: DataFrame, max_candidates: int = 30, ascii_fast_path: bool = False
+) -> DataFrame:
+    """(alias, qid, score, rank): lnrm-normalized mentions, per-alias
+    sort (score desc, qid-string desc) truncated to max_candidates
+    (entity_profile.py:246-249 + entity_symbols.py:305-316).
+
+    ``ascii_fast_path`` swaps the Arrow lnrm UDF for the equivalent
+    JVM expression (valid for ASCII-only corpora)."""
+    m = profile.select(
+        F.col("entity_id").alias("qid"),
+        F.explode("mentions").alias("mention"),
+    ).select(
+        "qid",
+        F.element_at("mention", 1).alias("raw_mention"),
+        F.element_at("mention", 2).cast("double").alias("score"),
+    )
+    alias = (
+        lnrm_ascii_col(F.col("raw_mention"))
+        if ascii_fast_path
+        else lnrm_udf(F.col("raw_mention"))
+    )
+    m = m.select(alias.alias("alias"), "qid", "score").where(F.length("alias") > 0)
+    w = Window.partitionBy("alias").orderBy(F.desc("score"), F.desc("qid"))
+    return m.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max_candidates
+    )
+
+
+def profile_entity_types(profile: DataFrame, max_types: int = 10) -> DataFrame:
+    """(qid, type_system, typenames) — one row per entity per NAMED
+    type system, list order preserved, truncated to max_types
+    (type_symbols.py:60-65). Entities absent from a system get an
+    empty list (entity_profile.py:278-287 backfills empty values so
+    every system has consistent keys)."""
+    exploded = profile.select(
+        F.col("entity_id").alias("qid"), F.explode("types").alias("type_system", "tns")
+    ).select("qid", "type_system", F.slice("tns", 1, max_types).alias("typenames"))
+    systems = exploded.select("type_system").distinct()
+    all_pairs = profile.select(F.col("entity_id").alias("qid")).crossJoin(
+        F.broadcast(systems)
+    )
+    return all_pairs.join(exploded, ["qid", "type_system"], "left").select(
+        "qid",
+        "type_system",
+        F.coalesce("typenames", F.array().cast("array<string>")).alias("typenames"),
+    )
+
+
+def profile_kg_relations(profile: DataFrame, max_connections: int = 100) -> DataFrame:
+    """(subj_qid, rel, obj_qid): relation pairs exploded with
+    per-(qid, relation) order-of-appearance truncation to
+    max_connections (kg_symbols.py:70-81 keeps the first
+    max_connections objects of each relation's list)."""
+    r = profile.select(
+        F.col("entity_id").alias("subj_qid"),
+        F.posexplode("relations").alias("pos", "r"),
+    ).select("subj_qid", F.col("r.relation").alias("rel"), F.col("r.object").alias("obj_qid"), "pos")
+    w = Window.partitionBy("subj_qid", "rel").orderBy("pos")
+    return (
+        r.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_connections)
+        .select("subj_qid", "rel", "obj_qid")
+    )
+
+
+def profile_dims(
+    profile: DataFrame,
+    max_candidates: int = 30,
+    max_types: int = 10,
+    max_kg_connections: int = 100,
+    ascii_fast_path: bool = False,
+) -> dict[str, DataFrame]:
+    """All four dim tables from one profile frame — the Spark analogue
+    of EntityProfile.load_from_jsonl (entity_profile.py:146-204)."""
+    return {
+        "entities": profile_entities(profile),
+        "alias_cands": profile_alias_candidates(
+            profile, max_candidates, ascii_fast_path=ascii_fast_path
+        ),
+        "entity_types": profile_entity_types(profile, max_types),
+        "kg_relations": profile_kg_relations(profile, max_kg_connections),
+    }

@@ -166,6 +166,53 @@ def kg_relations(entities: DataFrame) -> DataFrame:
     return out.dropDuplicates(["subj_qid", "rel", "obj_qid"])
 
 
+def synthetic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-shaped frame in the reference's raw-JSONL schema
+    (entity_profile.py:158-169), derived deterministically from the
+    corpus dims — the fixture the driver gate uses to oracle-check the
+    profile → dim-table ingestion path (sources/profile.py).
+
+    Each entity carries one mention [alias, score], a two-system types
+    dict (wiki: 1 name; hyena: 3 names so max_types truncation is
+    observable), and its KG edges ordered (rel, obj_qnum)."""
+    from bootleg_spark.sources.profile import PROFILE_SCHEMA
+
+    dims = build_dims(spark, sf_dir)
+    e = dims["entities"]
+    kg = dims["kg_relations"]
+    rel_agg = (
+        kg.groupBy("subj_qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rel"), F.col("obj_qnum"), F.col("obj_qid")))
+            ).alias("rs")
+        )
+        .select(
+            "subj_qid",
+            F.transform(
+                "rs",
+                lambda x: F.struct(x["rel"].alias("relation"), x["obj_qid"].alias("object")),
+            ).alias("relations"),
+        )
+    )
+    return e.join(rel_agg, e["qid"] == rel_agg["subj_qid"], "left").select(
+        e["qid"].alias("entity_id"),
+        F.array(F.array(e["alias"], e["score"].cast("string"))).alias("mentions"),
+        e["title"],
+        e["descr"].alias("description"),
+        F.create_map(
+            F.lit("wiki"),
+            F.array(e["type_name"]),
+            F.lit("hyena"),
+            F.array(e["type_name"], F.lit("generic"), F.lit("thing")),
+        ).alias("types"),
+        F.coalesce(
+            "relations", F.array().cast(PROFILE_SCHEMA["relations"].dataType)
+        ).alias("relations"),
+        F.lit(None).cast("string").alias("_corrupt"),
+    )
+
+
 _DIMS_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
