@@ -51,11 +51,16 @@ def emit_triples(pairs: DataFrame, kg_relations: DataFrame, keep_lineage: bool =
     return joined.select(*cols).dropDuplicates(["subj", "pred", "obj"])
 
 
-def triples_from_doc_entities(ents: DataFrame, kg_relations: DataFrame) -> DataFrame:
+def triples_from_doc_entities(
+    ents: DataFrame, kg_relations: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """(doc_id, qid) → dedup'd (subj, pred, obj), WITHOUT the pair blowup.
 
     Semantically identical to ``emit_triples(cooccurrence_pairs(ents))``:
     a relation (s, p, o) is emitted iff some page mentions both s and o.
+    ``group_cols`` optionally keeps extra per-page columns (each must be
+    functionally determined by doc_id, e.g. a bucket id) and dedups per
+    group — used by the single-pass bucketed materializer.
     Plan: fan each page-entity out over its ≤max_connections relations
     via a broadcast hash join (map-side, bounded by the relation cap —
     kg_symbols.py:39), then LEFT SEMI join back against the page-entity
@@ -63,6 +68,7 @@ def triples_from_doc_entities(ents: DataFrame, kg_relations: DataFrame) -> DataF
     O(k·E[edges]) per page instead of O(k²), one shuffle on
     (doc_id, qid), and the final distinct is tiny.
     """
+    groups = group_cols or []
     rel = kg_relations.select(
         F.col("subj_qid").alias("qid"), F.col("rel").alias("pred"), F.col("obj_qid").alias("obj")
     )
@@ -73,8 +79,8 @@ def triples_from_doc_entities(ents: DataFrame, kg_relations: DataFrame) -> DataF
     # both sort passes a SortMergeJoin would add at 10^12-page scale
     confirmed = cand.join(on_page.hint("shuffle_hash"), ["doc_id", "obj"], "left_semi")
     return (
-        confirmed.select(F.col("qid").alias("subj"), "pred", "obj")
-        .dropDuplicates(["subj", "pred", "obj"])
+        confirmed.select(*groups, F.col("qid").alias("subj"), "pred", "obj")
+        .dropDuplicates(groups + ["subj", "pred", "obj"])
     )
 
 

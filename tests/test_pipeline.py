@@ -137,3 +137,37 @@ def test_manifest_resume(pipe, tmp_path):
         for r in pipe.triples(extractor="word", scorer="popularity").collect()
     }
     assert got == expected
+
+
+def test_manifest_partial_resume(pipe, tmp_path):
+    """Crash simulation: drop one bucket's manifest line + dir; resume
+    must recompute ONLY that bucket and restore the exact store."""
+    import shutil
+
+    out = str(tmp_path / "kg_out")
+    materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    full = {
+        tuple(r)
+        for r in pipe.spark.read.parquet(os.path.join(out, "triples"))
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    mpath = os.path.join(out, "_manifest.jsonl")
+    lines = [json.loads(x) for x in open(mpath)]
+    lost = [m for m in lines if m["bucket"] == 1]
+    kept = [m for m in lines if m["bucket"] != 1]
+    with open(mpath, "w") as f:
+        for m in kept:
+            f.write(json.dumps(m) + "\n")
+    shutil.rmtree(os.path.join(out, "triples", "_bucket=1"), ignore_errors=True)
+
+    recs = materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    assert [r["bucket"] for r in recs] == [1]
+    assert recs[0]["pages"] == lost[0]["pages"] and recs[0]["triples"] == lost[0]["triples"]
+    got = {
+        tuple(r)
+        for r in pipe.spark.read.parquet(os.path.join(out, "triples"))
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    assert got == full
