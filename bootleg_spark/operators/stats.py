@@ -30,6 +30,62 @@ def alias_counts(mentions: DataFrame) -> DataFrame:
     return mentions.groupBy("alias").agg(F.count("*").cast("long").alias("cnt"))
 
 
+def alias_text_counts(
+    docs: DataFrame,
+    alias_df: DataFrame,
+    max_alias_len: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(alias_text, cnt): the reference's ``alias_text_occurrences``
+    counter (compute_statistics.py:118-132) — every raw n-gram
+    (n = 1..max_alias_len) of the sentence whose lnrm form is in the
+    alias dictionary counts one occurrence, with NO POS/boundary
+    filtering (unlike the mention extractor, which is why this is a
+    separate statistic). N-grams are generated JVM-side
+    (transform-over-sequence window slices, whole-stage codegen), then
+    one broadcast join against the alias dim.
+
+    Tokenization is whitespace-COLLAPSING (the reference calls
+    ``sentence.split()``, not ``split(' ')``)."""
+    from bootleg_spark.functions.lnrm import lnrm_ascii_col
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _gram_fn(n: int):
+        # NB: a `lambda i, n=n` would be seen as two-arg by F.transform,
+        # which then passes (element, INDEX) — the index would silently
+        # override n (same trap as predictions.merge_predictions)
+        return lambda i: F.concat_ws(" ", F.slice(words, i, n))
+
+    gram_arrays = []
+    for n in range(1, max_alias_len + 1):
+        seq = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+        g = F.transform(seq, _gram_fn(n))
+        gram_arrays.append(
+            F.when(F.size(words) >= n, g).otherwise(F.array().cast("array<string>"))
+        )
+    exploded = docs.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"))
+    normed = exploded.select(lnrm_ascii_col(F.col("gram")).alias("alias_text"))
+    dim = alias_df.select(F.col("alias").alias("alias_text"))
+    return (
+        normed.join(F.broadcast(dim), "alias_text")
+        .groupBy("alias_text")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def alias_entity_pair_counts(
+    linked: DataFrame, alias_col: str = "alias", qid_col: str = "qid"
+) -> DataFrame:
+    """(pair, cnt): the reference's ``alias_entity_pair`` counter
+    (compute_statistics.py:136-140: key = alias + "|" + qid)."""
+    return (
+        linked.groupBy(F.col(alias_col).alias("alias"), F.col(qid_col).alias("qid"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.concat_ws("|", "alias", "qid").alias("pair"), "cnt")
+    )
+
+
 def mentions_per_doc_hist(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(n_mentions, n_docs): distribution of per-page mention counts."""
     per_doc = mentions.groupBy(id_col).agg(F.count("*").alias("n_mentions"))
@@ -46,14 +102,24 @@ def cand_count_hist(alias_cands: DataFrame) -> DataFrame:
     )
 
 
-def qid_count_buckets(counts: DataFrame, n_quantiles: int = 21) -> DataFrame:
+def qid_count_buckets(
+    counts: DataFrame, n_quantiles: int = 21, exact: bool = False
+) -> DataFrame:
     """(qid, cnt, bucket): popularity bucket = number of the 21 evenly
-    spaced exact quantiles of cnt that are strictly below cnt
+    spaced quantiles of cnt that are strictly below cnt
     (dataset.py:484-490 semantics: np.quantile grid, mention score =
-    index of its count's bucket)."""
+    index of its count's bucket).
+
+    Default is ``percentile_approx`` (t-digest, map-side mergeable —
+    the quantile grid never funnels every count through one reducer);
+    ``exact=True`` uses exact ``percentile`` for oracle comparison and
+    small dims — at 5.8M+ entities exact percentile aggregates all
+    values into a single reducer state, so approx is the scale default.
+    """
     qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    fn = "percentile" if exact else "percentile_approx"
     quant = counts.select(
-        F.expr(f"percentile(cnt, array({','.join(str(q) for q in qs)}))").alias("qv")
+        F.expr(f"{fn}(cnt, array({','.join(str(q) for q in qs)}))").alias("qv")
     )
     return (
         counts.crossJoin(F.broadcast(quant))

@@ -35,7 +35,7 @@ def test_qid_count_buckets(spark):
         [("Q1",)] * 10 + [("Q2",)] * 5 + [("Q3",)], ["qid"]
     )
     counts = stats.qid_counts(df)
-    out = {r["qid"]: r for r in stats.qid_count_buckets(counts).collect()}
+    out = {r["qid"]: r for r in stats.qid_count_buckets(counts, exact=True).collect()}
     assert out["Q3"]["bucket"] == 0  # minimum count → below no quantile
     assert out["Q1"]["bucket"] == 20  # maximum count → above all but the 1.0 quantile
     assert 0 < out["Q2"]["bucket"] < 20
@@ -49,3 +49,49 @@ def test_histograms(spark):
     assert ac == {"a": 2, "b": 1}
     h = {r["n_mentions"]: r["n_docs"] for r in stats.mentions_per_doc_hist(m).collect()}
     assert h == {2: 1, 1: 1}
+
+
+def test_qid_count_buckets_approx_monotone(spark):
+    """Approx (default, scale path) buckets are monotone in cnt — the
+    grid values differ from exact interpolation at tiny cardinality,
+    but ordering semantics must hold."""
+    df = spark.createDataFrame([("Q1",)] * 10 + [("Q2",)] * 5 + [("Q3",)], ["qid"])
+    counts = stats.qid_counts(df)
+    approx = {r["qid"]: r["bucket"] for r in stats.qid_count_buckets(counts).collect()}
+    assert approx["Q3"] <= approx["Q2"] <= approx["Q1"]
+    assert approx["Q3"] == 0
+
+
+def test_alias_text_counts_multiword(spark):
+    """2-gram alias matches count, and unfiltered stopword occurrences
+    count too (no POS filter — compute_statistics.py:118-132)."""
+    docs = spark.createDataFrame(
+        [(1, "the big dog ran"), (2, "big dog Big  Dog!")], ["doc_id", "text"]
+    )
+    aliases = spark.createDataFrame([("big dog",), ("the",)], ["alias"])
+    out = {r["alias_text"]: r["cnt"] for r in stats.alias_text_counts(docs, aliases).collect()}
+    # "Big  Dog!" lnrm-normalizes to "big dog" too
+    assert out == {"big dog": 3, "the": 1}
+
+
+def test_alias_entity_pair_counts(spark):
+    linked = spark.createDataFrame(
+        [("a", "Q1"), ("a", "Q1"), ("a", "Q2"), ("b", "Q1")], ["alias", "qid"]
+    )
+    out = {r["pair"]: r["cnt"] for r in stats.alias_entity_pair_counts(linked).collect()}
+    assert out == {"a|Q1": 2, "a|Q2": 1, "b|Q1": 1}
+
+
+def test_strip_nan_array(spark):
+    import math
+
+    from bootleg_spark.functions.arrays import strip_nan_array, strip_nan_array2
+
+    df = spark.createDataFrame(
+        [([1.0, float("nan"), 3.0],)], "xs array<double>"
+    ).select(strip_nan_array("xs").alias("xs"))
+    assert list(df.first()["xs"]) == [1.0, None, 3.0]
+    df2 = spark.createDataFrame(
+        [([[float("nan")], [2.0]],)], "xs array<array<double>>"
+    ).select(strip_nan_array2("xs").alias("xs"))
+    assert [list(a) for a in df2.first()["xs"]] == [[None], [2.0]]
