@@ -76,14 +76,11 @@ def signbit_bucket(vec_col, bits: int = 8):
     return out.cast("long")
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF cell assignment with deterministic centroids (the first
-    ``n_cells`` vectors — a seed-free stand-in for k-means; a real build
-    would Lloyd-iterate the same dataflow). cell = argmax cosine to a
-    centroid, ties by lowest centroid id. Broadcast centroids, one scan."""
-    cents = emb.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
-    )
+def _assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """cell = argmax rounded-cosine to a broadcast centroid, ties by
+    lowest centroid id. One scan of the big side, per-id window."""
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6)
     )
@@ -95,6 +92,57 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, cv) k-means centroids: deterministic seeds (the first
+    ``n_cells`` vectors) + ``n_iter`` Lloyd iterations.
+
+    Each iteration is assign (broadcast centroids, one scan) →
+    per-cell component mean (posexplode → groupBy(cell, pos) avg —
+    map-side partial agg, no all-pairs anywhere). Means are NOT
+    L2-normalized: cosine argmax is scale-invariant, so the mean's
+    direction is all that matters — and skipping the norm keeps the
+    SQL oracle mirror exact. Components round to 6 dp so Spark's and
+    the oracle's float summation orders cannot drift. Cells that lose
+    all members simply drop out (their centroid disappears), matching
+    the SQL mirror.
+    """
+    cents = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+        comp = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        means = comp.groupBy("cell", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("cv"))
+        )
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+) -> DataFrame:
+    """IVF cell assignment against Lloyd-iterated centroids
+    (:func:`ivf_centroids`); ``n_iter=0`` reproduces the round-1
+    seed-only behavior."""
+    cents = ivf_centroids(emb, n_cells, n_iter, id_col, vec_col)
+    return _assign_to_centroids(emb, cents, id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -102,11 +150,12 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 1,
 ) -> DataFrame:
     """IVF-bucketed ANN: search only within the query's cell (nprobe=1).
     Turns O(Q·N) into O(Q·N/cells) at a recall tradeoff — the scale path
     (the reference's analogue is the faiss index in cand_gen/eval.py)."""
-    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col, n_iter=n_iter)
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
     )
