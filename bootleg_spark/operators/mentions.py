@@ -246,3 +246,155 @@ def extract_mentions_word(
         .where(F.col("alias").isNotNull() & (F.length("alias") > 0))
         .select(*df.columns, "mention_pos", "alias")
     )
+
+
+# ---------------------------------------------------------------------------
+# NER-based extractor (third strategy slot)
+# ---------------------------------------------------------------------------
+
+# spaCy entity classes the reference keeps (mention_extractor_utils.py:38-48)
+NER_CLASSES = frozenset(
+    {"PERSON", "NORP", "ORG", "GPE", "LOC", "PRODUCT", "EVENT", "WORK_OF_ART", "LANGUAGE"}
+)
+
+
+def regex_ner_spans(text: str) -> list[tuple[str, int, int, str]]:
+    """Deterministic tagger for cased text: maximal runs of capitalized
+    tokens -> 'ORG' spans, digit runs -> 'CARDINAL' (filtered out by
+    NER_CLASSES, exercising the class filter). A real spaCy/other
+    pipeline slots into the same (text, start, end, label) shape."""
+    spans: list[tuple[str, int, int, str]] = []
+    toks = tokenize_with_offsets(text)
+    i = 0
+    while i < len(toks):
+        tok, idx = toks[i]
+        if tok[:1].isupper():
+            j = i
+            while j + 1 < len(toks) and toks[j + 1][0][:1].isupper():
+                j += 1
+            end = toks[j][1] + len(toks[j][0])
+            spans.append((text[idx:end], idx, end, "ORG"))
+            i = j + 1
+        elif tok.isdigit():
+            spans.append((tok, idx, idx + len(tok), "CARDINAL"))
+            i += 1
+        else:
+            i += 1
+    return spans
+
+
+def gazetteer_ner_fn(gazetteer: dict[str, str], max_len: int = 6):
+    """Build a tagger from a surface->label gazetteer (lnrm'd keys):
+    greedy longest-first scan, the deterministic stand-in this
+    environment uses for spaCy NER (spaCy absent — SURVEY §7.4). The
+    DISPATCH + class-filter + variant + overlap logic around it
+    (ner_extract_aliases) is the real reference semantics."""
+
+    def _tag(text: str) -> list[tuple[str, int, int, str]]:
+        toks = tokenize_with_offsets(text)
+        spans: list[tuple[str, int, int, str]] = []
+        n_toks = len(toks)
+        taken = [False] * n_toks
+        for n in range(min(max_len, n_toks), 0, -1):
+            for start in range(0, n_toks - n + 1):
+                if any(taken[start : start + n]):
+                    continue
+                gram = toks[start : start + n]
+                surface = lnrm(" ".join(t for t, _ in gram))
+                label = gazetteer.get(surface)
+                if label is not None:
+                    s = gram[0][1]
+                    e = gram[-1][1] + len(gram[-1][0])
+                    spans.append((text[s:e], s, e, label))
+                    for t in range(start, start + n):
+                        taken[t] = True
+        spans.sort(key=lambda x: (x[1], x[2]))
+        return spans
+
+    return _tag
+
+
+def ner_extract_aliases(
+    text: str,
+    all_aliases,
+    ner_fn,
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+    ner_classes: frozenset[str] = NER_CLASSES,
+) -> list[tuple[str, int, int]]:
+    """NER-driven mention extraction (spacy_extract_aliases,
+    mention_extractor_utils.py:207-268): keep tagged spans whose class
+    is in NER_CLASSES, lnrm them, try the possessive merge/strip
+    variants against the alias dict, greedily suppress overlaps
+    (first-come, spans arrive largest-context-first from the tagger),
+    sort by span."""
+    used: list[tuple[str, int, int]] = []
+    for etext, start, end, label in ner_fn(text):
+        if label not in ner_classes:
+            continue
+        gram = lnrm(etext)
+        n_words = len(gram.split())
+        if n_words < min_alias_len or n_words > max_alias_len:
+            continue
+        final = None
+        if gram in all_aliases:
+            final = gram
+        else:
+            merged = lnrm(etext.replace(" 's", "'s"))
+            if merged in all_aliases:
+                final = merged
+            else:
+                noplural = lnrm(etext.replace("'s", ""))
+                if noplural in all_aliases:
+                    final = noplural
+        if final is None:
+            continue
+        if any(start < ue and end > us for _, us, ue in used):
+            continue
+        used.append((final, start, end))
+    return sorted(used, key=lambda x: (x[1], x[2]))
+
+
+def extract_mentions_ner(
+    df: DataFrame,
+    alias_set_bc,
+    gazetteer_bc=None,
+    text_col: str = "text",
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+) -> DataFrame:
+    """Explode rows into NER-extracted mention rows — the third
+    extractor strategy (MENTION_EXTRACTOR_OPTIONS['spacy'],
+    extract_mentions.py:27-30). ``gazetteer_bc`` (broadcast
+    surface->label dict) selects the deterministic gazetteer tagger;
+    without it the capitalized-run regex tagger runs."""
+
+    @F.pandas_udf(_MENTION_SCHEMA)
+    def _extract(texts: pd.Series) -> pd.Series:
+        aliases = alias_set_bc.value
+        ner_fn = (
+            gazetteer_ner_fn(gazetteer_bc.value, max_alias_len)
+            if gazetteer_bc is not None
+            else regex_ner_spans
+        )
+        return texts.map(
+            lambda t: []
+            if t is None
+            else [
+                {"alias": a, "char_start": s, "char_end": e}
+                for a, s, e in ner_extract_aliases(
+                    t, aliases, ner_fn, min_alias_len, max_alias_len
+                )
+            ]
+        )
+
+    exploded = df.select(
+        "*", F.posexplode(_extract(F.col(text_col))).alias("mention_pos", "_m")
+    )
+    return exploded.select(
+        *df.columns,
+        F.col("mention_pos").cast("int"),
+        F.col("_m.alias").alias("alias"),
+        F.col("_m.char_start").alias("char_start"),
+        F.col("_m.char_end").alias("char_end"),
+    )

@@ -83,3 +83,38 @@ def test_spark_extractor_matches_pure_python(spark):
         for a, s, e in ngram_extract_aliases(t, FIXTURE_ALIASES):
             expected.append((i, a, s, e))
     assert [tuple(r) for r in got] == expected
+
+
+def test_ner_extract_regex_tagger():
+    """Cased text through the capitalized-run tagger: class filter,
+    possessive variants, overlap suppression (spacy_extract_aliases
+    semantics, mention_extractor_utils.py:207-268)."""
+    from bootleg_spark.operators.mentions import (
+        ner_extract_aliases,
+        regex_ner_spans,
+    )
+
+    text = "New York 's mayor visited Apple and 42 things"
+    aliases = frozenset({"new york", "apple", "42"})
+    got = ner_extract_aliases(text, aliases, regex_ner_spans)
+    # "New York 's" -> possessive merge; "42" is CARDINAL -> filtered
+    assert [a for a, _, _ in got] == ["new york", "apple"]
+    s0, e0 = got[0][1], got[0][2]
+    assert text[s0:e0].startswith("New York")
+
+
+def test_ner_gazetteer_longest_first_and_classes():
+    from bootleg_spark.operators.mentions import (
+        gazetteer_ner_fn,
+        ner_extract_aliases,
+    )
+
+    gaz = {"new york": "GPE", "york": "GPE", "tax": "CARDINAL"}
+    fn = gazetteer_ner_fn(gaz)
+    text = "new york tax york"
+    got = ner_extract_aliases(text, frozenset(gaz), fn)
+    # longest-first: "new york" wins over inner "york"; "tax" class-filtered;
+    # trailing standalone "york" still matches
+    assert [a for a, _, _ in got] == ["new york", "york"]
+    assert got[0][1] == 0 and got[0][2] == 8
+    assert text[got[1][1]:got[1][2]] == "york"
