@@ -69,6 +69,8 @@ def alias_vocab(docs: DataFrame) -> DataFrame:
     the reference's VocabularyTrie external ids,
     nested_vocab_tries.py:92-193).
     """
+    from bootleg_spark.operators.ids import dense_ids
+
     w = words_table(docs)
     vocab = (
         w.select(F.col("word").alias("alias"))
@@ -79,9 +81,10 @@ def alias_vocab(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return vocab.withColumn(
-        "alias_id", F.row_number().over(Window.orderBy("alias")).cast("long")
-    )
+    # two-phase distributed numbering (ids.dense_ids): same ids as a
+    # global row_number() window but no single-partition Exchange — at
+    # web-vocab scale (10^8 aliases) the global window is a one-task wall
+    return dense_ids(vocab, "alias", id_col="alias_id", start=1)
 
 
 def entities_dim(aliases: DataFrame) -> DataFrame:
