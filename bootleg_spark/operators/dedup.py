@@ -184,19 +184,36 @@ def simhash_signatures(
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            votes = [0] * bits
-            for tok in (t or "").split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for i in range(bits):
-                    votes[i] += 1 if (h >> i) & 1 else -1
-            sig = 0
-            for i in range(bits):
-                if votes[i] > 0:
-                    sig |= 1 << i
-            # to signed 64-bit
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        # vectorized over the batch: md5 only the batch's UNIQUE tokens
+        # (Zipfian input -> small vocab), expand every hash to a ±1 bit
+        # matrix with one numpy shift, then per-doc vote = one fancy-index
+        # row-sum. Replaces the round-1 per-token x per-bit Python loop
+        # (~10x on this corpus).
+        import numpy as np
+
+        tok_lists = [(t or "").split() for t in texts]
+        vocab: dict[str, int] = {}
+        for toks in tok_lists:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        shifts = np.arange(bits, dtype=np.uint64)
+        if vocab:
+            hs = np.empty(len(vocab), dtype=np.uint64)
+            for tok, i in vocab.items():
+                hs[i] = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bitmat = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+        else:
+            bitmat = np.zeros((0, bits), dtype=np.int32)
+        out = np.zeros(len(texts), dtype=np.int64)
+        powers = np.uint64(1) << shifts
+        for j, toks in enumerate(tok_lists):
+            if not toks:
+                continue
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            votes = bitmat[idx].sum(axis=0)
+            sig = int(powers[votes > 0].sum(dtype=np.uint64))
+            out[j] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out, dtype="int64")
 
     return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
