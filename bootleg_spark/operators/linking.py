@@ -55,6 +55,7 @@ def entity_strings(
     entity_types: DataFrame | None = None,
     type_system: str | None = None,
     constants: EntityStringConstants | None = None,
+    with_title_spans: bool = False,
 ) -> DataFrame:
     """(qid, eid, ent_str): the textual entity representation
     "title [ent_type] t.. [ent_kg] rel tail_title .. [ent_desc] desc"
@@ -94,17 +95,38 @@ def entity_strings(
         max_ent_kg_len=S.MAX_ENT_KG_LEN, max_ent_type_len=S.MAX_ENT_TYPE_LEN
     )
 
+    from pyspark.sql.types import IntegerType
+
+    _STR_SPANS = StructType(
+        [
+            StructField("ent_str", StringType()),
+            StructField("title_spans", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _build(title, descr, typenames, kg):
+        strs, spans = [], []
+        for t, d, tys, k in zip(title, descr, typenames, kg):
+            items = list(k) if k is not None else []
+            tylist = [x for x in (tys if tys is not None else []) if x]
+            s, sp, _, _ = build_entity_string(t or "", d, tylist, items, consts)
+            strs.append(s)
+            spans.append([int(x) for x in sp])
+        return strs, spans
+
     @F.pandas_udf(StringType())
     def _ent_str(
         title: pd.Series, descr: pd.Series, typenames: pd.Series, kg: pd.Series
     ) -> pd.Series:
-        out = []
-        for t, d, tys, k in zip(title, descr, typenames, kg):
-            items = list(k) if k is not None else []
-            tylist = [x for x in (tys if tys is not None else []) if x]
-            s, _, _, _ = build_entity_string(t or "", d, tylist, items, consts)
-            out.append(s)
-        return pd.Series(out)
+        strs, _ = _build(title, descr, typenames, kg)
+        return pd.Series(strs)
+
+    @F.pandas_udf(_STR_SPANS)
+    def _ent_str_spans(
+        title: pd.Series, descr: pd.Series, typenames: pd.Series, kg: pd.Series
+    ) -> pd.DataFrame:
+        strs, spans = _build(title, descr, typenames, kg)
+        return pd.DataFrame({"ent_str": strs, "title_spans": spans})
 
     joined = entities.join(F.broadcast(kg_items), "qid", "left").withColumn(
         "kg_items", F.coalesce("kg_items", F.array())
@@ -118,6 +140,14 @@ def entity_strings(
         ).withColumn("typenames", F.coalesce("typenames", F.array().cast("array<string>")))
     else:
         joined = joined.withColumn("typenames", F.array(F.col("type_name")))
+    if with_title_spans:
+        return joined.select(
+            "qid", "eid", "alias",
+            _ent_str_spans("title", "descr", "typenames", "kg_items").alias("_s"),
+        ).select(
+            "qid", "eid", "alias", F.col("_s.ent_str").alias("ent_str"),
+            F.col("_s.title_spans").alias("title_spans"),
+        )
     return joined.select(
         "qid",
         "eid",

@@ -44,8 +44,10 @@ GOLDEN_DIR = "/root/repo/goldens"
 DEFAULT_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-def reference_outputs(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(linked, triples) for one corpus, computed without Spark."""
+def reference_outputs(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """(linked, triples, embeddings) for one corpus, computed without
+    Spark. The embeddings golden pins the static entity-matrix sink
+    (extract_all_entities analogue) row-for-row."""
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -119,7 +121,17 @@ def reference_outputs(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     tri = pd.DataFrame(sorted(triples), columns=["subj", "pred", "obj"])
     tri["n_docs"] = np.int64(n_docs)
     tri["total_chars"] = np.int64(total_chars)
-    return linked, tri
+    n_ent, dim = mat.shape
+    emb = pd.DataFrame(
+        {
+            "qid": np.repeat(np.array(qids, dtype=object), dim),
+            "dim_idx": np.tile(np.arange(dim, dtype=np.int64), n_ent),
+            "val": np.round(mat.reshape(-1), 6),
+        }
+    )
+    emb["n_docs"] = np.int64(n_docs)
+    emb["total_chars"] = np.int64(total_chars)
+    return linked, tri, emb
 
 
 def main() -> None:
@@ -127,15 +139,20 @@ def main() -> None:
 
     sfs = sys.argv[1:] or DEFAULT_SFS
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    all_linked, all_tri = [], []
+    all_linked, all_tri, all_emb = [], [], []
     for sf in sfs:
-        linked, tri = reference_outputs(sf)
-        print(f"{sf}: {len(linked)} linked rows, {len(tri)} triples (n_docs={linked['n_docs'].iloc[0] if len(linked) else '?'})")
+        linked, tri, emb = reference_outputs(sf)
+        print(
+            f"{sf}: {len(linked)} linked rows, {len(tri)} triples, "
+            f"{len(emb)} emb cells"
+        )
         all_linked.append(linked)
         all_tri.append(tri)
+        all_emb.append(emb)
     pd.concat(all_linked).to_parquet(f"{GOLDEN_DIR}/linked_neural.parquet", index=False)
     pd.concat(all_tri).to_parquet(f"{GOLDEN_DIR}/triples_neural.parquet", index=False)
-    print(f"wrote {GOLDEN_DIR}/linked_neural.parquet, {GOLDEN_DIR}/triples_neural.parquet")
+    pd.concat(all_emb).to_parquet(f"{GOLDEN_DIR}/entity_embeddings.parquet", index=False)
+    print(f"wrote linked_neural/triples_neural/entity_embeddings under {GOLDEN_DIR}")
 
 
 if __name__ == "__main__":
