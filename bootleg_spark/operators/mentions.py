@@ -101,20 +101,31 @@ def ngram_extract_aliases(
     all_aliases,
     min_alias_len: int = 1,
     max_alias_len: int = 6,
+    dict_max_words: int | None = None,
 ) -> list[tuple[str, int, int]]:
     """Pure-Python n-gram mention extractor.
 
     Returns [(alias, char_start, char_end)] sorted by span, reproducing
     ``ngram_spacy_extract_aliases`` (mention_extractor_utils.py:138-204)
     with the POS-free noun heuristic.
+
+    ``dict_max_words`` (the longest alias's word count) enables an exact
+    dead-pass skip: a window of n tokens can only key a shorter dict
+    entry by eliding possessive "'s" tokens, so when the text has no
+    apostrophe at all, every pass with n > dict_max_words is provably
+    matchless and skipped (≈halves extractor time on apostrophe-free
+    web text with a short dictionary; output provably unchanged).
     """
     toks = tokenize_with_offsets(text)
     if not toks:
         return []
+    has_apos = "'" in text
     keep = [_pos_keep(t) for t, _ in toks]
     used: list[tuple[str, int, int]] = []
     n_toks = len(toks)
     for n in range(min(max_alias_len, n_toks), min_alias_len - 1, -1):
+        if dict_max_words is not None and n > dict_max_words and not has_apos:
+            continue
         for start in range(0, n_toks - n + 1):
             gram = toks[start : start + n]
             start_char = gram[0][1]
@@ -188,13 +199,16 @@ def extract_mentions_ngram(
         # than the longest alias (+1 token, since the " 's"->"'s" variant can
         # merge two tokens into one) can never match, so those n-gram passes
         # are dead — skip them (the reference hardcodes max_alias_len=6)
-        eff_max = min(max_alias_len, 1 + max((len(a.split()) for a in aliases), default=1))
+        dict_w = max((len(a.split()) for a in aliases), default=1)
+        eff_max = min(max_alias_len, 1 + dict_w)
         return texts.map(
             lambda t: []
             if t is None
             else [
                 {"alias": a, "char_start": s, "char_end": e}
-                for a, s, e in ngram_extract_aliases(t, aliases, min_alias_len, eff_max)
+                for a, s, e in ngram_extract_aliases(
+                    t, aliases, min_alias_len, eff_max, dict_max_words=dict_w
+                )
             ]
         )
 
