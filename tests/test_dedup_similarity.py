@@ -67,3 +67,17 @@ def test_cosine_topk_matches_numpy(spark):
             key=lambda t: (-t[0], t[1]),
         )
         assert [(round(s, 5), j) for s, j in mine] == [(round(s, 5), j) for s, j in expected]
+
+
+def test_dup_clusters_chain_and_components(spark):
+    """Pointer-jumping converges on a long chain (the O(diameter)
+    killer for plain propagation) and keeps components separate."""
+    from bootleg_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 30)]  # path 1-2-...-30
+    other = [(100, 101), (101, 102), (100, 102)]  # triangle
+    pairs = spark.createDataFrame(chain + other, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert all(got[i] == 1 for i in range(1, 31))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    assert len(got) == 33
