@@ -1,7 +1,8 @@
 """Mention extraction.
 
-Two extractors, mirroring the reference's pluggable
-``MENTION_EXTRACTOR_OPTIONS`` (bootleg/end2end/extract_mentions.py:27-30):
+Three extractors, mirroring the reference's pluggable
+``MENTION_EXTRACTOR_OPTIONS`` (bootleg/end2end/extract_mentions.py:27-30;
+the third, NER-driven slot lives at the bottom of this module):
 
 - :func:`extract_mentions_ngram` — full Bootleg semantics
   (bootleg/utils/mention_extractor_utils.py:110-204): longest-first

@@ -209,3 +209,30 @@ def signbit_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
     )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥
+    threshold) with candidates restricted to sign-bit LSH buckets — the
+    embedding-space analogue of minhash_verified_pairs (bucket join
+    proposes, exact cosine verifies; never all-pairs). Output feeds
+    dedup.dup_clusters for keep-one-per-cluster semantics."""
+    with_bucket = emb.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
+    a = with_bucket.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = with_bucket.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return scored.select("id_a", "id_b", "cos_sim")
