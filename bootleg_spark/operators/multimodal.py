@@ -93,3 +93,84 @@ def extract_media_features(
             yield pd.DataFrame({"id": pdf[id_col], "feat": feats})
 
     return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def fake_decode_grayscale(payload: bytes):
+    """Deterministic stand-in decoder: interpret the payload's first
+    side² bytes (side = isqrt(len)) as a square grayscale image. A real
+    PIL/ffmpeg decoder returns the same (H, W) uint8 array shape, so
+    the resize kernel downstream is the real one either way."""
+    import math
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    side = math.isqrt(len(b))
+    if side == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    return np.frombuffer(b[: side * side], dtype=np.uint8).reshape(side, side)
+
+
+def resize_media(
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    out_h: int = 4,
+    out_w: int = 4,
+    decoder=fake_decode_grayscale,
+) -> DataFrame:
+    """Batched image resize over a binary column: decode (pluggable;
+    deterministic fake by default) then a REAL nearest-neighbor
+    downsample kernel (vectorized numpy fancy-index), mapInPandas with
+    per-partition decoder init. Output (id, pixels array<double> of
+    out_h*out_w row-major intensities in [0,1])."""
+    import numpy as np
+
+    schema = "id string, pixels array<double>"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder  # per-partition init point (model/codec load)
+        for pdf in batches:
+            out = []
+            for payload in pdf[bin_col]:
+                img = dec(payload)
+                h, w = img.shape[:2]
+                if h == 0 or w == 0:
+                    out.append([0.0] * (out_h * out_w))
+                    continue
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = img[np.ix_(rows, cols)].astype(np.float64) / 255.0
+                out.append([round(float(x), 6) for x in small.reshape(-1)])
+            yield pd.DataFrame({"id": pdf[id_col], "pixels": out})
+
+    return df.select(id_col, bin_col).mapInPandas(_resize, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    frame_bytes: int = 256,
+    k: int = 4,
+) -> DataFrame:
+    """Evenly sample ``k`` fixed-size frames from a binary stream
+    (video-column analogue): frame j comes from offset
+    floor(j·n_frames/k)·frame_bytes. Pure JVM expressions — frame
+    SELECTION is offset arithmetic, so unlike decode it never needs
+    Python; emits (id, frame_idx, frame_md5) per sampled frame. Streams
+    shorter than one frame yield no rows."""
+    n_frames = (F.length(F.col(bin_col)) / F.lit(frame_bytes)).cast("long")
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    frames = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bin_col).alias("_b"),
+        n_frames.alias("_n"),
+        F.explode(idx).alias("frame_idx"),
+    ).where(F.col("_n") > 0)
+    offset = (F.floor(F.col("frame_idx") * F.col("_n") / k) * frame_bytes + 1).cast("int")
+    return frames.select(
+        "id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(F.substring(F.col("_b"), offset, F.lit(frame_bytes))).alias("frame_md5"),
+    )
