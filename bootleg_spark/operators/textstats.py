@@ -46,15 +46,26 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return sel.select("id", "n_en", "n_de", "n_es", "n_fr", pred.alias("pred_lang"))
 
 
+# GPT-2-style pretokenizer shape without lookarounds (portable between
+# Java regex and DuckDB's RE2): optional leading space + letter run /
+# digit run / symbol run. Counts of these pieces approximate BPE token
+# counts far better than whitespace splitting on punctuation-heavy text.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_ws_tokens, n_word_tokens, n_chars): whitespace tokens plus a
-    BPE-ish word-piece proxy (alnum runs) via regexp counting."""
+    """(id, n_ws_tokens, n_word_tokens, n_bpe_tokens, n_chars):
+    whitespace tokens, alnum-run word tokens, and BPE-ish pretokenizer
+    pieces (BPE_ISH_PATTERN) via regexp counting — all JVM-side."""
     return docs.select(
         F.col(id_col).alias("id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0))
         .cast("long")
         .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     )
 
