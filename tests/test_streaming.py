@@ -69,3 +69,61 @@ def test_merge_prunes_to_touched_buckets(spark, tmp_path):
     assert got == set(b1) | set(b2)
     # store stays partitioned by bucket on disk (pruning is real)
     assert any(p.startswith("bucket=") for p in os.listdir(store))
+
+
+def test_session_windows_streaming_with_watermark(spark, tmp_path):
+    """sessionize_windows runs as a Structured Streaming query: session
+    state closes via the watermark, and an event arriving later than
+    watermark + gap is dropped instead of reopening the session."""
+    import datetime as dt
+
+    from bootleg_spark.operators.sessions import sessionize_windows
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(*specs):
+        return [(u, i, base + dt.timedelta(seconds=s), float(v)) for i, (u, s, v) in enumerate(specs)]
+
+    cols = ["user_id", "event_id", "ts", "value"]
+    # batch 1: user 1 session A (0s, 60s); a later anchor event advances
+    # the watermark far past session A
+    spark.createDataFrame(
+        rows((1, 0, 1.0), (1, 60, 2.0), (2, 40000, 1.0)), cols
+    ).write.parquet(src + "/b1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            sessionize_windows(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE event for user 1 (t=120s, far behind the watermark
+    # set by user 2's t=40000s event) must be dropped
+    spark.createDataFrame(rows((1, 120, 100.0)), cols).write.parquet(src + "/b2")
+    # plus a fresh event to trigger window emission for user 2
+    spark.createDataFrame(rows((2, 90000, 5.0)), cols).write.parquet(src + "/b3")
+    run_once()
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1's session has exactly the 2 on-time events; the late 100.0
+    # never appears anywhere
+    assert (1, 2, 3.0) in got
+    assert not any(abs(tv - 100.0) < 1e-9 or tv > 99 for _, _, tv in got)
