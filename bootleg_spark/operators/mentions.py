@@ -413,3 +413,73 @@ def extract_mentions_ner(
         F.col("_m.char_start").alias("char_start"),
         F.col("_m.char_end").alias("char_end"),
     )
+
+
+def extract_mentions_ngram_relational(
+    df: DataFrame,
+    alias_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT ngram-extractor semantics as pure JVM expressions, valid
+    on rows the caller guards to be lowercase alnum+space with a
+    single-token alias dictionary: there tokenize_with_offsets ==
+    split(' '), lnrm == identity, and every multi-gram pass is provably
+    dead (no possessives), so the extractor reduces to the relational
+    model the mentions_ngram ORACLE already encodes — a token is a
+    mention iff it is noun-ish (non-stopword, non-numeric), has no
+    noun-ish neighbor, and is in the dictionary.
+
+    Whole plan: array lambdas (codegen) to find isolated noun-ish token
+    indices, explode ONLY those (≈1% of tokens on web text), one
+    broadcast join for dictionary membership, char spans by prefix
+    length. Output schema matches :func:`extract_mentions_ngram`;
+    equality with the Python extractor on guarded rows is pinned by
+    test_parity + the triples_neural/linked_neural golden oracles.
+    """
+    stop = sorted(STOP_WORDS)
+
+    def nounish(w):
+        return (~w.isin(*stop)) & (~w.rlike("^[0-9]+$")) & (F.length(w) > 0)
+
+    # materialize the flag array as a COLUMN before indexing into it:
+    # referencing the transform() expression directly inside the filter
+    # lambda would INLINE it at every flag_at() call — 3 full-array
+    # stoplist+regex evaluations per token, O(n²) per page (measured
+    # 40x slower at bench scale)
+    with_flags = df.withColumn("_arr", F.split(F.col(text_col), " ")).withColumn(
+        "_flags", F.transform(F.col("_arr"), nounish)
+    )
+
+    def flag_at(i):
+        return F.coalesce(F.get(F.col("_flags"), i), F.lit(False))
+
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.size(F.col("_arr")) - 1),
+        lambda i: flag_at(i) & ~flag_at(i - 1) & ~flag_at(i + 1),
+    )
+    exploded = with_flags.withColumn("_tok_idx", F.explode(idxs)).withColumn(
+        "_w", F.get("_arr", "_tok_idx")
+    )
+    hits = exploded.join(
+        F.broadcast(alias_df.select(F.col("alias").alias("_dict_alias"))),
+        F.col("_w") == F.col("_dict_alias"),
+    )
+    char_start = F.when(F.col("_tok_idx") == 0, F.lit(0)).otherwise(
+        F.length(F.concat_ws(" ", F.slice(F.col("_arr"), 1, F.col("_tok_idx")))) + 1
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy("_tok_idx")
+    return (
+        hits.withColumn("char_start", char_start.cast("int"))
+        .withColumn("char_end", (F.col("char_start") + F.length("_w")).cast("int"))
+        .withColumn("mention_pos", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            *df.columns,
+            "mention_pos",
+            F.col("_w").alias("alias"),
+            "char_start",
+            "char_end",
+        )
+    )

@@ -118,3 +118,27 @@ def test_ner_gazetteer_longest_first_and_classes():
     assert [a for a, _, _ in got] == ["new york", "york"]
     assert got[0][1] == 0 and got[0][2] == 8
     assert text[got[1][1]:got[1][2]] == "york"
+
+
+def test_relational_extractor_equals_python(spark):
+    """On clean-token rows with a 1-token dictionary the relational
+    extractor must reproduce the Python n-gram extractor row-for-row
+    (spans, positions, aliases)."""
+    from bootleg_spark.operators.mentions import (
+        extract_mentions_ngram,
+        extract_mentions_ngram_relational,
+    )
+    from bootleg_spark.sources import synth
+    from tests.conftest import SF_SMOKE
+
+    d = synth.build_dims(spark, SF_SMOKE)
+    docs = d["documents"].select("doc_id", "text")
+    alias_bc = spark.sparkContext.broadcast(
+        frozenset(r["alias"] for r in d["aliases"].collect())
+    )
+    py = extract_mentions_ngram(docs, alias_bc)
+    rel = extract_mentions_ngram_relational(docs, d["aliases"])
+    cols = ["doc_id", "mention_pos", "alias", "char_start", "char_end"]
+    a = {tuple(r) for r in py.select(*cols).collect()}
+    b = {tuple(r) for r in rel.select(*cols).collect()}
+    assert a == b and len(a) > 0
