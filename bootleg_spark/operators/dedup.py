@@ -262,7 +262,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     enough for iterative plans, because the logical plan still embeds
     the whole lineage and driver-side analysis time grows ~4× per
     round (measured); the checkpoint truncates the plan to the
-    materialized blocks.
+    materialized blocks. (``localCheckpoint`` trades executor-loss
+    resilience for speed — on a long cluster run with preemptible
+    executors, set a checkpoint dir and use ``.checkpoint()`` instead.)
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
