@@ -110,3 +110,47 @@ def doc_fingerprints(
         ).alias("h"),
     )
     return sh.groupBy("id").agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, top_word_frac, top_2gram_frac): fraction of the document
+    occupied by its most frequent word / 2-gram — the Gopher-style
+    repetition filters web pipelines drop boilerplate with (a page
+    whose top 2-gram covers >~18% of tokens is usually template spam).
+
+    One explode per n, groupBy (doc, gram) with map-side partial
+    aggregation, then a per-doc max — no windows, no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("w"), F.size(words).alias("n"))
+
+    def top_frac(n_gram: int, out_name: str):
+        grams = F.when(
+            F.size(F.col("w")) >= n_gram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("w")) - F.lit(n_gram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n_gram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            base.select("id", "n", F.explode(grams).alias("g"))
+            .groupBy("id", "n", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        # top gram covers c * n_gram tokens of the n total
+        return counts.groupBy("id", "n").agg(
+            F.round(F.max("c") * n_gram / F.first("n"), 6).alias(out_name)
+        ).select("id", out_name)
+
+    w1 = top_frac(1, "top_word_frac")
+    w2 = top_frac(2, "top_2gram_frac")
+    return (
+        base.select("id")
+        .join(w1, "id", "left")
+        .join(w2, "id", "left")
+        .select(
+            "id",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
