@@ -57,7 +57,11 @@ def _run_queries(sf_dir: str, cores: int) -> dict:
     # of BENCH_TRIALS runs reported so the number carries its own noise
     # band (this virtualized host swings ~2x run-to-run).
     rep = int(os.environ.get("BENCH_REPLICATE", "50"))
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # 3 trials by default: this host's neighbor-steal noise runs 2x+
+    # (load average >13 observed with nothing running locally) — the
+    # best-of-3 is the least-interfered measurement of the plan, the
+    # median is reported alongside as the honest typical figure
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     from pyspark.sql import functions as _F
 
     base = pipe.pages().withColumnRenamed("url", "_base_url").cache()
