@@ -20,7 +20,7 @@ def test_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     docs.where(F.col("doc_id") % 2 == 1).write.parquet(src + "/part2")
 
     q = start_triple_stream(spark, src + "/*", out, dims, docs.schema)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {
         tuple(r)
@@ -34,7 +34,7 @@ def test_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     # restart over the same source: availableNow + checkpoint → no new
     # files to process, and the anti-join merge keeps the store exact
     q2 = start_triple_stream(spark, src + "/*", out, dims, docs.schema)
-    q2.awaitTermination(120)
+    q2.awaitTermination(300)
     got2 = {
         tuple(r)
         for r in spark.read.parquet(os.path.join(out, "triples"))
@@ -89,10 +89,13 @@ def test_session_windows_streaming_with_watermark(spark, tmp_path):
 
     cols = ["user_id", "event_id", "ts", "value"]
     # batch 1: user 1 session A (0s, 60s); a later anchor event advances
-    # the watermark far past session A
+    # the watermark far past session A. coalesce(1): each batch dir must
+    # be ONE file — with maxFilesPerTrigger=1, multiple part files would
+    # split a logical batch and the anchor row could process first,
+    # advancing the watermark over user 1's rows (flaky drops)
     spark.createDataFrame(
         rows((1, 0, 1.0), (1, 60, 2.0), (2, 40000, 1.0)), cols
-    ).write.parquet(src + "/b1")
+    ).coalesce(1).write.parquet(src + "/b1")
 
     def run_once():
         stream = (
@@ -109,14 +112,15 @@ def test_session_windows_streaming_with_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # fail loudly on timeout instead of reading a partial sink
+        assert q.awaitTermination(300), "streaming query did not finish in 300s"
 
     run_once()
     # batch 2: a LATE event for user 1 (t=120s, far behind the watermark
     # set by user 2's t=40000s event) must be dropped
-    spark.createDataFrame(rows((1, 120, 100.0)), cols).write.parquet(src + "/b2")
+    spark.createDataFrame(rows((1, 120, 100.0)), cols).coalesce(1).write.parquet(src + "/b2")
     # plus a fresh event to trigger window emission for user 2
-    spark.createDataFrame(rows((2, 90000, 5.0)), cols).write.parquet(src + "/b3")
+    spark.createDataFrame(rows((2, 90000, 5.0)), cols).coalesce(1).write.parquet(src + "/b3")
     run_once()
 
     got = {
