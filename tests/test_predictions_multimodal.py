@@ -80,3 +80,39 @@ def test_media_features_batched_and_deterministic(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_resize_media_custom_decoder(spark):
+    """A real decoder slots in: 4x4 ramp image -> 2x2 nearest-neighbor
+    picks pixels (0,0),(0,2),(2,0),(2,2)."""
+    import numpy as np
+
+    from bootleg_spark.operators.multimodal import resize_media
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17  # 0,17,...,255
+    df = spark.createDataFrame([("a", bytearray(b"x"))], "url string, html binary")
+    out = resize_media(df, out_h=2, out_w=2, decoder=lambda payload: img).first()
+    assert [round(v, 6) for v in out["pixels"]] == [
+        round(x / 255.0, 6) for x in (0, 34, 136, 170)
+    ]
+
+
+def test_sample_frames_short_stream(spark):
+    """A payload shorter than one frame yields no rows; a 3-frame
+    payload sampled at k=4 repeats evenly spaced frame indices."""
+    from bootleg_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("short", bytearray(b"tiny")), ("long", bytearray(b"A" * 256 + b"B" * 256 + b"C" * 256))],
+        "url string, html binary",
+    )
+    rows = sample_frames(df, frame_bytes=256, k=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert "short" not in by_id
+    longs = sorted(by_id["long"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in longs] == [0, 1, 2, 3]
+    # frames 0..3 map to source frames floor(j*3/4) = 0,0,1,2
+    assert longs[0]["frame_md5"] == longs[1]["frame_md5"]
+    assert longs[2]["frame_md5"] != longs[1]["frame_md5"]
