@@ -58,6 +58,12 @@ _MENTION_SCHEMA = ArrayType(
 
 _RE_TOKEN = re.compile(r"\S+")
 
+# texts where every token lnrms to itself (lowercased): only ASCII
+# alnum + single spaces — the precondition for the dead-pass skip in
+# ngram_extract_aliases (any punctuation/unicode can shrink a gram's
+# lnrm word count, e.g. 'Foo & Bar' -> 'foo bar')
+_SKIP_SAFE_RE = re.compile(r"^[A-Za-z0-9 ]*$")
+
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int]]:
     """Whitespace tokens with char offsets, peeling boundary punctuation
@@ -111,21 +117,24 @@ def ngram_extract_aliases(
     with the POS-free noun heuristic.
 
     ``dict_max_words`` (the longest alias's word count) enables an exact
-    dead-pass skip: a window of n tokens can only key a shorter dict
-    entry by eliding possessive "'s" tokens, so when the text has no
-    apostrophe at all, every pass with n > dict_max_words is provably
-    matchless and skipped (≈halves extractor time on apostrophe-free
-    web text with a short dictionary; output provably unchanged).
+    dead-pass skip, valid ONLY when no token of the gram can shrink or
+    vanish under lnrm — i.e. the text is pure ASCII alnum+space, so an
+    n-token window always lnrms to exactly n words and cannot key a
+    shorter dict entry. Any other character (apostrophes merging "'s",
+    punctuation-only tokens that lnrm deletes — 'Foo & Bar' → 'foo bar',
+    combining marks) disables the skip for the whole row. ≈halves
+    extractor time on clean web text with a short dictionary; output
+    provably unchanged (tests/test_mentions.py pins the punctuated case).
     """
     toks = tokenize_with_offsets(text)
     if not toks:
         return []
-    has_apos = "'" in text
+    skip_safe = _SKIP_SAFE_RE.match(text) is not None
     keep = [_pos_keep(t) for t, _ in toks]
     used: list[tuple[str, int, int]] = []
     n_toks = len(toks)
     for n in range(min(max_alias_len, n_toks), min_alias_len - 1, -1):
-        if dict_max_words is not None and n > dict_max_words and not has_apos:
+        if dict_max_words is not None and n > dict_max_words and skip_safe:
             continue
         for start in range(0, n_toks - n + 1):
             gram = toks[start : start + n]
@@ -196,19 +205,19 @@ def extract_mentions_ngram(
     @F.pandas_udf(_MENTION_SCHEMA)
     def _extract(texts: pd.Series) -> pd.Series:
         aliases = alias_set_bc.value
-        # effective n-gram ceiling from the dictionary itself: a gram longer
-        # than the longest alias (+1 token, since the " 's"->"'s" variant can
-        # merge two tokens into one) can never match, so those n-gram passes
-        # are dead — skip them (the reference hardcodes max_alias_len=6)
+        # dict_max_words feeds the per-text dead-pass skip inside
+        # ngram_extract_aliases: on pure-alnum text every pass with
+        # n > longest-alias-words is provably matchless; on punctuated
+        # text lnrm can shrink a gram's word count, so all passes run
+        # (the reference hardcodes max_alias_len=6)
         dict_w = max((len(a.split()) for a in aliases), default=1)
-        eff_max = min(max_alias_len, 1 + dict_w)
         return texts.map(
             lambda t: []
             if t is None
             else [
                 {"alias": a, "char_start": s, "char_end": e}
                 for a, s, e in ngram_extract_aliases(
-                    t, aliases, min_alias_len, eff_max, dict_max_words=dict_w
+                    t, aliases, min_alias_len, max_alias_len, dict_max_words=dict_w
                 )
             ]
         )

@@ -190,13 +190,12 @@ class KgPipeline:
             qid2row, mat = mat_bc.value
             cands = cand_bc.value
             dict_w = max((len(a.split()) for a in aliases), default=1)
-            eff_max = min(6, 1 + dict_w)
             for pdf in batches:
                 url_o, doc_o, pos_o, al_o, cs_o, ce_o, ctx_o, cl_o = ([] for _ in range(8))
                 for url, doc_id, html in zip(pdf["url"], pdf["doc_id"], pdf["html"]):
                     text = extract_html_text(bytes(html))
                     for i, (a, s, e) in enumerate(
-                        ngram_extract_aliases(text, aliases, 1, eff_max, dict_max_words=dict_w)
+                        ngram_extract_aliases(text, aliases, 1, 6, dict_max_words=dict_w)
                     ):
                         url_o.append(url)
                         doc_o.append(doc_id)
@@ -271,7 +270,6 @@ class KgPipeline:
             cands = cand_bc.value
             rels = rel_bc.value
             dict_w = max((len(a.split()) for a in aliases), default=1)
-            eff_max = min(6, 1 + dict_w)
             for pdf in batches:
                 # pass 1: mentions + contexts, page boundaries remembered
                 ctx_o, cl_o, bounds = [], [], []
@@ -279,7 +277,7 @@ class KgPipeline:
                     text = extract_html_text(bytes(html))
                     start = len(ctx_o)
                     for a, s, e in ngram_extract_aliases(
-                        text, aliases, 1, eff_max, dict_max_words=dict_w
+                        text, aliases, 1, 6, dict_max_words=dict_w
                     ):
                         ctx_o.append(extract_context((s, e), text, window))
                         cl_o.append(cands[a])

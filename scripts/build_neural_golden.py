@@ -77,12 +77,12 @@ def reference_outputs(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataF
     for s_, r_, o_ in rel_rows:
         rels.setdefault(s_, []).append((r_, o_))
 
-    eff_max = min(6, 1 + max((len(a.split()) for a in alias_set), default=1))
+    dict_w = max((len(a.split()) for a in alias_set), default=1)
     linked_rows = []
     triples = set()
     for doc_id, lang, text in docs:
         url = f"{S.URL_PREFIX}{lang}/{doc_id}"
-        ms = ngram_extract_aliases(text, alias_set, 1, eff_max)
+        ms = ngram_extract_aliases(text, alias_set, 1, 6, dict_max_words=dict_w)
         if not ms:
             continue
         ctxs = [extract_context((cs, ce), text, S.MAX_SEQ_WINDOW_LEN) for _, cs, ce in ms]

@@ -58,6 +58,30 @@ def test_capitalized_start_exception():
     assert out == []
 
 
+def test_dead_pass_skip_is_output_preserving():
+    """Regression (round-2 advice): lnrm deletes punctuation-only tokens,
+    so a (dict_max_words+1)-token gram like 'Foo & Bar' collapses to a
+    shorter dict alias. The dead-pass skip must not fire on such text."""
+    aliases = frozenset({"foo bar"})
+    expected = [("foo bar", 4, 13)]
+    got = ngram_extract_aliases(
+        "the Foo & Bar is here", aliases, dict_max_words=2
+    )
+    assert got == expected
+    # same result without the hint (ground truth)
+    assert ngram_extract_aliases("the Foo & Bar is here", aliases) == expected
+    # double-punct collapse: 5 tokens -> 3 lnrm words (would be missed by
+    # both the old skip AND the old eff_max=dict_w+1 caller cap)
+    aliases3 = frozenset({"foo bar baz"})
+    got3 = ngram_extract_aliases("Foo & Bar & Baz", aliases3, dict_max_words=3)
+    assert got3 == ngram_extract_aliases("Foo & Bar & Baz", aliases3) != []
+    # on pure-alnum text the skip stays active and output is unchanged
+    clean = "the foo bar is here"
+    assert ngram_extract_aliases(clean, aliases, dict_max_words=2) == (
+        ngram_extract_aliases(clean, aliases)
+    )
+
+
 def test_punct_boundary_tokens():
     toks = tokenize_with_offsets("hello, (world) ok")
     assert ("hello", 0) in toks and ("," , 5) in toks
