@@ -135,6 +135,18 @@ def entity_strings(
         tdim = entity_types
         if type_system is not None:
             tdim = tdim.where(F.col("type_system") == type_system)
+        else:
+            # guard an easy misuse: joining a multi-system dim without
+            # naming a system would emit one duplicate entity-string row
+            # per type system per qid (round-2 advice). The reference
+            # configures exactly ONE system per run (dataset.py:116-130).
+            systems = [r[0] for r in tdim.select("type_system").distinct().limit(2).collect()]
+            if len(systems) > 1:
+                raise ValueError(
+                    "entity_types carries multiple type systems; pass "
+                    "type_system=<name> to select one (the reference runs "
+                    "one system per run)"
+                )
         joined = joined.join(
             F.broadcast(tdim.select("qid", "typenames")), "qid", "left"
         ).withColumn("typenames", F.coalesce("typenames", F.array().cast("array<string>")))

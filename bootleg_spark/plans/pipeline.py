@@ -365,10 +365,27 @@ def materialize_triples(
 
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    # layout version pins (bucket key, partition scheme, bucket count):
+    # resuming over a manifest written under a DIFFERENT scheme would
+    # silently skip a different page set than was actually written and
+    # mix partition-directory layouts (round-2 advice) — refuse instead.
+    layout = f"pmod-hash(doc_id)/_bucket={n_buckets}/v2"
     done: set[int] = set()
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = {json.loads(line)["bucket"] for line in f if line.strip()}
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                rec_layout = rec.get("layout")
+                if rec_layout != layout:
+                    raise ValueError(
+                        f"manifest {manifest_path} was written under layout "
+                        f"{rec_layout!r}, current layout is {layout!r}; "
+                        "resume would skip the wrong pages — use a fresh "
+                        "out_dir or resume=False"
+                    )
+                done.add(rec["bucket"])
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
         return []
@@ -429,6 +446,7 @@ def materialize_triples(
     for b in todo:
         rec = {
             "bucket": b,
+            "layout": layout,
             "pages": int(page_counts[f"b{b}"] or 0),
             "triples": int(tri_counts.get(b, 0)),
             "seconds": round(dt, 3),  # wall time of the shared single pass

@@ -89,21 +89,28 @@ def merge_new_triples(
     Store absence must be decided explicitly: only a missing path skips
     the anti-join; real read errors propagate.
     """
-    new = new.select(*_KEY).withColumn(
+    keyed = new.select(*_KEY).withColumn(
         "bucket", _bucket(F.col("subj"), F.col("pred"), F.col("obj"), n_buckets)
     )
-    # buckets present in this batch: <= n_buckets tiny rows to the driver
-    new = new.persist()
-    touched = sorted(r["bucket"] for r in new.select("bucket").distinct().collect())
-    if _path_exists(spark, triples_path):
-        existing = (
-            spark.read.parquet(triples_path)
-            .where(F.col("bucket").isin(touched))  # partition-pruned read
-            .select(*_KEY)
-        )
-        new = new.join(existing, _KEY, "left_anti")
-    new.write.mode("append").partitionBy("bucket").parquet(triples_path)
-    new.unpersist()
+    # buckets present in this batch: <= n_buckets tiny rows to the driver.
+    # unpersist must target the SAME handle that was persisted — calling
+    # it on a frame derived from the cached one is a no-op for the cache
+    # manager and leaks one cached plan per micro-batch for the stream's
+    # lifetime (round-2 advice); finally guards the writer failing too.
+    cached = keyed.persist()
+    try:
+        touched = sorted(r["bucket"] for r in cached.select("bucket").distinct().collect())
+        out = cached
+        if _path_exists(spark, triples_path):
+            existing = (
+                spark.read.parquet(triples_path)
+                .where(F.col("bucket").isin(touched))  # partition-pruned read
+                .select(*_KEY)
+            )
+            out = cached.join(existing, _KEY, "left_anti")
+        out.write.mode("append").partitionBy("bucket").parquet(triples_path)
+    finally:
+        cached.unpersist()
     return touched
 
 

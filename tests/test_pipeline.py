@@ -106,6 +106,18 @@ def test_fused_equals_staged(pipe):
     assert fused == staged and len(fused) > 0
 
 
+def test_linked_threshold_not_vacuous(pipe, spark):
+    """The probability-threshold filter must both keep and drop rows on
+    the test corpus — at tau outside the prob range the oracle check
+    compares two empty (or two full) sets and pins nothing
+    (round-2 verdict: vacuous at tau=0.5)."""
+    import __spark_entry__ as entrymod
+
+    total = entrymod._q_linked_neural(spark, SF_SMOKE).count()
+    kept = entrymod._q_linked_threshold(spark, SF_SMOKE).count()
+    assert 0 < kept < total
+
+
 def test_neural_linking_subset_of_candidates(pipe):
     linked = pipe.linked()
     rows = linked.select("alias", "qid_pred", "cand_qids", "prob").collect()
@@ -137,6 +149,27 @@ def test_manifest_resume(pipe, tmp_path):
         for r in pipe.triples(extractor="word", scorer="popularity").collect()
     }
     assert got == expected
+
+
+def test_manifest_layout_mismatch_refused(pipe, tmp_path):
+    """Resuming over a manifest written under a different bucket
+    key/count/partition scheme must refuse, not silently skip the wrong
+    page set (round-2 advice: the r1→r2 layout change was unversioned)."""
+    out = str(tmp_path / "kg_out")
+    materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    # a different n_buckets is a different bucket key → refuse
+    with pytest.raises(ValueError, match="layout"):
+        materialize_triples(pipe, out, n_buckets=4, extractor="word", scorer="popularity")
+    # an unversioned (pre-v2) manifest line → refuse
+    mpath = os.path.join(out, "_manifest.jsonl")
+    lines = [json.loads(x) for x in open(mpath)]
+    for m in lines:
+        m.pop("layout")
+    with open(mpath, "w") as f:
+        for m in lines:
+            f.write(json.dumps(m) + "\n")
+    with pytest.raises(ValueError, match="layout"):
+        materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
 
 
 def test_manifest_partial_resume(pipe, tmp_path):
