@@ -70,14 +70,17 @@ def ngram_jaccard_pairs(
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
     shingle equi-join → per-pair intersection count → sizes join →
-    |A∩B| / (|A|+|B|-|A∩B|). The shuffle key is the shingle; frequent
-    shingles are the skew risk (AQE skew-join splits them)."""
+    |A∩B| / (|A|+|B|-|A∩B|). The shuffle key is the shingle — joined on
+    its xxhash64 (8-byte long) rather than the string, cutting shuffle
+    bytes severalfold with identical output absent 64-bit collisions;
+    frequent shingles are the skew risk (AQE skew-join splits them)."""
     sh = word_shingles(docs, n, text_col, id_col)
     sizes = _doc_sizes(sh)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shh = sh.select("id", F.xxhash64("shingle").alias("sh64"))
+    a = shh.select(F.col("id").alias("id_a"), "sh64")
+    b = shh.select(F.col("id").alias("id_b"), "sh64")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh64")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_inter"))
@@ -157,7 +160,15 @@ def minhash_verified_pairs(
     ``reuse_shingles`` persists the shingle frame, which the plan scans
     three times (band hashing, sizes, verify join) — measured 1.7×
     end-to-end; MEMORY_AND_DISK spills if the shingle set outgrows
-    executor memory. Pass False to recompute instead of store."""
+    executor memory. Pass False to recompute instead of store.
+
+    The band-min step stays on md5-hex strings (bit-identical in the
+    DuckDB oracle, so the CANDIDATE set is oracle-pinned); the verify
+    join, whose exchange dominates shuffle bytes, runs on xxhash64
+    longs — 8 bytes per shingle key instead of the full shingle string,
+    identical output absent 64-bit collisions (a collision would merge
+    two shingles of one doc; pair-level jaccard perturbation at
+    ~2⁻⁶⁴ per shingle pair)."""
     sh = word_shingles(docs, shingle_n, text_col, id_col)
     if reuse_shingles:
         sh = sh.persist()
@@ -176,11 +187,12 @@ def minhash_verified_pairs(
         .distinct()
     )
     sizes = _doc_sizes(sh)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shh = sh.select("id", F.xxhash64("shingle").alias("sh64"))
+    a = shh.select(F.col("id").alias("id_a"), "sh64")
+    b = shh.select(F.col("id").alias("id_b"), "sh64")
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "sh64"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_inter"))
     )
