@@ -59,6 +59,38 @@ def featurize_texts(texts: list[str], dim: int) -> np.ndarray:
     return out
 
 
+def make_mlp_encoder(dim: int, hidden: int = 64, seed: int = 12345):
+    """Second deterministic encoder behind the ``featurize_texts`` seam.
+
+    Shaped like the reference's BertEncoder forward
+    (bootleg/layers/bert_encoder.py:6-38: contextual token states →
+    pooling → projection): feature-hashed token embeddings stand in for
+    the token states, mean pooling is the CLS-style pool, then two
+    fixed-weight linear layers with tanh and an L2-normalized output.
+    Weights come from a seeded legacy RandomState, so the encoder is a
+    pure function of (dim, hidden, seed) — any process computes the
+    same matrix.
+
+    Same ``(texts, dim) -> (B, dim)`` contract as :func:`featurize_texts`;
+    tests/test_parity.py swaps it through the whole pipeline to prove a
+    real torch/ONNX encoder needs no Spark-plan change.
+    """
+    rng = np.random.RandomState(seed)
+    w1 = rng.standard_normal((dim, hidden)) / np.sqrt(dim)
+    w2 = rng.standard_normal((hidden, dim)) / np.sqrt(hidden)
+
+    def encode(texts: list[str], out_dim: int) -> np.ndarray:
+        if out_dim != dim:
+            raise ValueError(f"encoder built for dim={dim}, called with {out_dim}")
+        pooled = featurize_texts(texts, dim)
+        out = np.tanh(np.tanh(pooled @ w1) @ w2)
+        n = np.linalg.norm(out, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return out / n
+
+    return encode
+
+
 def masked_class_logsoftmax(pred: np.ndarray, mask: np.ndarray, temp: float = 1.0) -> np.ndarray:
     """Masked log-softmax over the last axis (eval_utils.py:32-56 semantics:
     ``log_softmax(pred/temp + log(mask + 1e-45))``)."""

@@ -169,15 +169,21 @@ def entity_strings(
 
 
 def build_entity_embeddings(
-    ent_strs: DataFrame, dim: int = S.EMB_DIM
+    ent_strs: DataFrame, dim: int = S.EMB_DIM, encoder=None
 ) -> DataFrame:
-    """(qid, eid, emb array<double>): feature-hashed entity encodings —
-    the Spark analogue of extract_all_entities.py:136-211 (one-time
-    forward pass over all entities producing the static matrix)."""
+    """(qid, eid, emb array<double>): entity encodings — the Spark
+    analogue of extract_all_entities.py:136-211 (one-time forward pass
+    over all entities producing the static matrix).
+
+    ``encoder`` is any ``(texts, dim) -> (B, dim) ndarray`` callable
+    (default: the feature-hash stand-in; a torch/ONNX BERT or
+    :func:`bootleg_spark.functions.embedding.make_mlp_encoder` slots in
+    with no plan change — it ships to executors via the UDF closure)."""
+    enc = encoder or featurize_texts
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        mat = featurize_texts([t or "" for t in texts], dim)
+        mat = enc([t or "" for t in texts], dim)
         return pd.Series(list(mat))
 
     return ent_strs.select("qid", "eid", _embed("ent_str").alias("emb"))
@@ -216,14 +222,17 @@ def link_neural(
     dim: int = S.EMB_DIM,
     max_seq_window_len: int = S.MAX_SEQ_WINDOW_LEN,
     threshold: float = S.PROB_THRESHOLD,
+    encoder=None,
 ) -> DataFrame:
     """Score candidates with the broadcast static entity matrix.
 
     Input needs (text, char_start, char_end, cand_qids). Entire batch is
     vectorized: context featurization + einsum dot + masked softmax
     (score_batch). Mentions whose top prob ≤ threshold are dropped
-    (bootleg_annotator.py:602-625).
+    (bootleg_annotator.py:602-625). ``encoder`` must match the one used
+    to build the entity matrix (see :func:`build_entity_embeddings`).
     """
+    enc = encoder or featurize_texts
 
     @F.pandas_udf(_SCORE_SCHEMA)
     def _score(
@@ -237,7 +246,7 @@ def link_neural(
             extract_context((int(a), int(b)), t or "", max_seq_window_len)
             for t, a, b in zip(text, cs, ce)
         ]
-        ctx = featurize_texts(contexts, dim)
+        ctx = enc(contexts, dim)
         k = max(len(c) for c in cand_qids)
         ent = np.zeros((n, k, dim), dtype=np.float64)
         mask = np.zeros((n, k), dtype=bool)

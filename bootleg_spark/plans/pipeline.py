@@ -52,10 +52,25 @@ class KgPipeline:
     """Holds the broadcast artifacts (alias set, entity matrix) that the
     reference builds in BootlegAnnotator.__init__ (SURVEY.md §3.1 step 1)."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str, dim: int = S.EMB_DIM):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        dim: int = S.EMB_DIM,
+        encoder=None,
+    ):
+        """``encoder``: any ``(texts, dim) -> (B, dim) ndarray`` callable,
+        used for BOTH the static entity matrix and the context side
+        (the reference's biencoder shares the BERT weights). Default is
+        the feature-hash stand-in; a torch/ONNX model (or
+        ``make_mlp_encoder``) slots in with no plan change —
+        tests/test_parity.py proves the swap end-to-end."""
+        from bootleg_spark.functions.embedding import featurize_texts
+
         self.spark = spark
         self.sf_dir = sf_dir
         self.dim = dim
+        self.encoder = encoder or featurize_texts
         self.dims = build_dims(spark, sf_dir)
         alias_rows = [r["alias"] for r in self.dims["aliases"].select("alias").collect()]
         self.alias_set_bc = spark.sparkContext.broadcast(frozenset(alias_rows))
@@ -64,24 +79,31 @@ class KgPipeline:
         self.dict_max_words = max((len(a.split()) for a in alias_rows), default=1)
         # pre-group + cache the candidate arrays once: every query joins
         # against this (the reference builds its alias trie once at init,
-        # bootleg_annotator.py:240-248)
+        # bootleg_annotator.py:240-248). ONE collect both materializes the
+        # cache and feeds the fused path's broadcast dict (the annotator's
+        # in-memory alias map) — no separate count() action.
         from bootleg_spark.operators.candidates import grouped_candidates
 
         self.grouped_cands = grouped_candidates(self.dims["alias_cands"]).cache()
-        self.grouped_cands.count()
-        self.ent_strs = entity_strings(self.dims["entities"], self.dims["kg_relations"])
-        self.emb_df = build_entity_embeddings(self.ent_strs, dim)
-        self.ent_matrix_bc = broadcast_entity_matrix(spark, self.emb_df)
-        # alias -> ordered padded candidate list, as a plain broadcast dict
-        # for the fused path (the annotator's in-memory alias map)
         cand_rows = {r["alias"]: list(r["cand_qids"]) for r in self.grouped_cands.collect()}
         self.cand_dict_bc = spark.sparkContext.broadcast(cand_rows)
-        # subj -> [(rel, obj)] for the fused-local triple emission; at full
-        # Wikidata scale this dict can exceed broadcast budgets — the
-        # semi-join path (triples_from_doc_entities) is the general fallback
-        rel_rows: dict[str, list[tuple[str, str]]] = {}
-        for r in self.dims["kg_relations"].select("subj_qid", "rel", "obj_qid").collect():
-            rel_rows.setdefault(r["subj_qid"], []).append((r["rel"], r["obj_qid"]))
+        self.ent_strs = entity_strings(self.dims["entities"], self.dims["kg_relations"])
+        self.emb_df = build_entity_embeddings(self.ent_strs, dim, encoder=self.encoder)
+        self.ent_matrix_bc = broadcast_entity_matrix(spark, self.emb_df)
+        # subj -> [(rel, obj)] for the fused-local triple emission, grouped
+        # DISTRIBUTED first so the driver receives one row per subject,
+        # not one per relation. At full Wikidata scale this dict can exceed
+        # broadcast budgets — the semi-join path (triples_from_doc_entities)
+        # is the general fallback.
+        rel_grouped = (
+            self.dims["kg_relations"]
+            .groupBy("subj_qid")
+            .agg(F.collect_list(F.struct("rel", "obj_qid")).alias("ro"))
+            .collect()
+        )
+        rel_rows = {
+            r["subj_qid"]: [(x["rel"], x["obj_qid"]) for x in r["ro"]] for r in rel_grouped
+        }
         self.rel_dict_bc = spark.sparkContext.broadcast(rel_rows)
 
     def pages(self) -> DataFrame:
@@ -107,7 +129,7 @@ class KgPipeline:
         if scorer == "neural":
             if extractor == "word":
                 raise ValueError("neural scorer needs char spans (ngram extractor)")
-            return link_neural(mc, self.ent_matrix_bc, text_col="text_extracted")
+            return link_neural(mc, self.ent_matrix_bc, text_col="text_extracted", encoder=self.encoder)
         return link_popularity(mc)
 
     # strictly single-spaced lowercase alnum text: on such rows the
@@ -153,7 +175,10 @@ class KgPipeline:
         )
         mentions = m_fast.unionByName(m_slow)
         mc = attach_candidates(mentions, self.dims["alias_cands"], grouped=self.grouped_cands)
-        return link_neural(mc, self.ent_matrix_bc, text_col="text_extracted", threshold=threshold)
+        return link_neural(
+            mc, self.ent_matrix_bc, text_col="text_extracted",
+            threshold=threshold, encoder=self.encoder,
+        )
 
     def linked_fused(self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD) -> DataFrame:
         """①–④ fused into ONE ``mapInPandas`` pass (the throughput path
@@ -176,10 +201,11 @@ class KgPipeline:
         dim = self.dim
         window = S.MAX_SEQ_WINDOW_LEN
 
-        from bootleg_spark.functions.embedding import featurize_texts, score_batch
+        from bootleg_spark.functions.embedding import score_batch
         from bootleg_spark.functions.textproc import extract_context, extract_html_text
         from bootleg_spark.operators.mentions import ngram_extract_aliases
 
+        enc = self.encoder  # ships to executors via the UDF closure
         schema = (
             "url string, doc_id long, mention_pos int, alias string, "
             "char_start int, char_end int, qid_pred string, prob double"
@@ -212,7 +238,7 @@ class KgPipeline:
                                           "char_start", "char_end", "qid_pred", "prob"]}
                     )
                     continue
-                ctx = featurize_texts(ctx_o, dim)
+                ctx = enc(ctx_o, dim)
                 k = max(len(c) for c in cl_o)
                 ent = np.zeros((n, k, dim))
                 mask = np.zeros((n, k), dtype=bool)
@@ -260,9 +286,11 @@ class KgPipeline:
         dim = self.dim
         window = S.MAX_SEQ_WINDOW_LEN
 
-        from bootleg_spark.functions.embedding import featurize_texts, score_batch
+        from bootleg_spark.functions.embedding import score_batch
         from bootleg_spark.functions.textproc import extract_context, extract_html_text
         from bootleg_spark.operators.mentions import ngram_extract_aliases
+
+        enc = self.encoder  # ships to executors via the UDF closure
 
         def _fused_triples(batches):
             aliases = alias_bc.value
@@ -285,7 +313,7 @@ class KgPipeline:
                 out = set()
                 n = len(ctx_o)
                 if n:
-                    ctx = featurize_texts(ctx_o, dim)
+                    ctx = enc(ctx_o, dim)
                     k = max(len(c) for c in cl_o)
                     ent = np.zeros((n, k, dim))
                     mask = np.zeros((n, k), dtype=bool)
@@ -363,13 +391,16 @@ def materialize_triples(
     """
     from pyspark.sql import Observation
 
+    from bootleg_spark.sources import store
+
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
     # layout version pins (bucket key, partition scheme, bucket count):
     # resuming over a manifest written under a DIFFERENT scheme would
     # silently skip a different page set than was actually written and
     # mix partition-directory layouts (round-2 advice) — refuse instead.
-    layout = f"pmod-hash(doc_id)/_bucket={n_buckets}/v2"
+    # The layout itself is shared with the streaming merge (sources/store).
+    layout = store.layout_id(["doc_id"], n_buckets)
     done: set[int] = set()
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -393,7 +424,7 @@ def materialize_triples(
     t0 = time.time()
 
     def bucket_of(col):
-        return F.pmod(F.hash(col), F.lit(n_buckets))
+        return store.bucket_expr(n_buckets, col)
 
     pages = pipe.pages()
     if done:
@@ -427,17 +458,16 @@ def materialize_triples(
     prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        tri.write.mode("overwrite").partitionBy("_bucket").parquet(triples_path)
+        store.write_buckets(tri, triples_path, mode="overwrite")
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     dt = time.time() - t0
     page_counts = obs.get  # dict b{b} -> count, filled by the write action
     # triple counts per bucket: one aggregate over the (small) output
     tri_counts = {
-        r["_bucket"]: r["c"]
-        for r in pipe.spark.read.parquet(triples_path)
-        .where(F.col("_bucket").isin(todo))
-        .groupBy("_bucket")
+        r[store.BUCKET_COL]: r["c"]
+        for r in store.read_buckets(pipe.spark, triples_path, todo)
+        .groupBy(store.BUCKET_COL)
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }

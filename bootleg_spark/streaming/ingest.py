@@ -36,6 +36,7 @@ from bootleg_spark.operators.candidates import attach_candidates
 from bootleg_spark.operators.linking import link_popularity
 from bootleg_spark.operators.mentions import extract_mentions_word
 from bootleg_spark.operators.triples import doc_entities, triples_from_doc_entities
+from bootleg_spark.sources import store
 
 N_BUCKETS = 64
 _KEY = ["subj", "pred", "obj"]
@@ -62,20 +63,6 @@ def triples_for_batch(batch: DataFrame, dims: dict) -> DataFrame:
     return triples_from_doc_entities(ents, dims["kg_relations"])
 
 
-def _bucket(col_subj, col_pred, col_obj, n_buckets: int):
-    return F.pmod(F.xxhash64(col_subj, col_pred, col_obj), F.lit(n_buckets)).cast("int")
-
-
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    """Hadoop-FS existence check — valid for hdfs://, s3a://, file://
-    alike (``os.path.exists`` would silently say "no" for any
-    non-local URI and skip the anti-join)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
-
-
 def merge_new_triples(
     spark: SparkSession,
     new: DataFrame,
@@ -83,15 +70,14 @@ def merge_new_triples(
     n_buckets: int = N_BUCKETS,
 ) -> list[int]:
     """Idempotently append ``new`` (subj, pred, obj) to the bucketed
-    store; returns the bucket ids the anti-join actually read (the
-    pruning evidence the tests assert on).
+    store (layout shared with the batch materializer via
+    :mod:`bootleg_spark.sources.store`); returns the bucket ids the
+    anti-join actually read (the pruning evidence the tests assert on).
 
     Store absence must be decided explicitly: only a missing path skips
     the anti-join; real read errors propagate.
     """
-    keyed = new.select(*_KEY).withColumn(
-        "bucket", _bucket(F.col("subj"), F.col("pred"), F.col("obj"), n_buckets)
-    )
+    keyed = store.with_bucket(new.select(*_KEY), _KEY, n_buckets)
     # buckets present in this batch: <= n_buckets tiny rows to the driver.
     # unpersist must target the SAME handle that was persisted — calling
     # it on a frame derived from the cached one is a no-op for the cache
@@ -99,16 +85,15 @@ def merge_new_triples(
     # lifetime (round-2 advice); finally guards the writer failing too.
     cached = keyed.persist()
     try:
-        touched = sorted(r["bucket"] for r in cached.select("bucket").distinct().collect())
+        touched = sorted(
+            r[store.BUCKET_COL]
+            for r in cached.select(store.BUCKET_COL).distinct().collect()
+        )
         out = cached
-        if _path_exists(spark, triples_path):
-            existing = (
-                spark.read.parquet(triples_path)
-                .where(F.col("bucket").isin(touched))  # partition-pruned read
-                .select(*_KEY)
-            )
+        if store.path_exists(spark, triples_path):
+            existing = store.read_buckets(spark, triples_path, touched).select(*_KEY)
             out = cached.join(existing, _KEY, "left_anti")
-        out.write.mode("append").partitionBy("bucket").parquet(triples_path)
+        store.write_buckets(out, triples_path)
     finally:
         cached.unpersist()
     return touched

@@ -24,7 +24,9 @@ from bootleg_spark import synthspec as S
 from tests.conftest import SF_SMOKE
 
 
-def single_process_annotator(pages_rows, aliases, cand_dict, qid2row, mat, rel_dict):
+def single_process_annotator(
+    pages_rows, aliases, cand_dict, qid2row, mat, rel_dict, encoder=featurize_texts
+):
     """Reference-shaped sequential annotator → set of (subj, pred, obj)."""
     triples = set()
     for row in pages_rows:
@@ -34,7 +36,7 @@ def single_process_annotator(pages_rows, aliases, cand_dict, qid2row, mat, rel_d
             continue
         ctxs = [extract_context((s, e), text, S.MAX_SEQ_WINDOW_LEN) for _, s, e in mentions]
         cands = [cand_dict[a] for a, _, _ in mentions]
-        ctx = featurize_texts(ctxs, S.EMB_DIM)
+        ctx = encoder(ctxs, S.EMB_DIM)
         n, k = len(mentions), max(len(c) for c in cands)
         ent = np.zeros((n, k, S.EMB_DIM))
         mask = np.zeros((n, k), dtype=bool)
@@ -77,3 +79,37 @@ def test_triple_precision_recall_vs_sequential_reference(spark):
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     # with a deterministic scorer the match should in fact be exact
     assert got == expected
+
+
+def test_encoder_swap_through_the_seam(spark):
+    """Swapping a DIFFERENT encoder (fixed-weight numpy MLP with
+    CLS-style pooling + tanh, shaped like the reference's BertEncoder
+    forward, bert_encoder.py:6-38) through the featurize_texts seam must
+    change NO Spark plan: the pipeline with the swapped encoder still
+    reproduces the sequential reference annotator exactly, both on the
+    staged and the fused path — so a real torch/ONNX BERT drop-in needs
+    no dataflow change."""
+    from bootleg_spark.functions.embedding import make_mlp_encoder
+
+    enc = make_mlp_encoder(S.EMB_DIM)
+    pipe = KgPipeline(spark, SF_SMOKE, encoder=enc)
+    pages_rows = pipe.pages().select("html").collect()
+    expected = single_process_annotator(
+        pages_rows,
+        pipe.alias_set_bc.value,
+        pipe.cand_dict_bc.value,
+        pipe.ent_matrix_bc.value[0],
+        pipe.ent_matrix_bc.value[1],
+        pipe.rel_dict_bc.value,
+        encoder=make_mlp_encoder(S.EMB_DIM),  # fresh instance: pure fn of seed
+    )
+    assert len(expected) > 0
+    fused = {tuple(r) for r in pipe.triples().select("subj", "pred", "obj").collect()}
+    staged = {
+        tuple(r) for r in pipe.triples(fused=False).select("subj", "pred", "obj").collect()
+    }
+    assert fused == expected
+    assert staged == expected
+    # and the swapped encoder actually encodes differently from the default
+    probe = ["alpha beta gamma", "delta"]
+    assert not np.allclose(enc(probe, S.EMB_DIM), featurize_texts(probe, S.EMB_DIM))

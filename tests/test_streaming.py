@@ -67,8 +67,11 @@ def test_merge_prunes_to_touched_buckets(spark, tmp_path):
         for r in spark.read.parquet(store).select("subj", "pred", "obj").collect()
     }
     assert got == set(b1) | set(b2)
-    # store stays partitioned by bucket on disk (pruning is real)
-    assert any(p.startswith("bucket=") for p in os.listdir(store))
+    # store stays partitioned by the SHARED layout's bucket column on
+    # disk (pruning is real; one layout module serves batch + streaming)
+    from bootleg_spark.sources.store import BUCKET_COL
+
+    assert any(p.startswith(f"{BUCKET_COL}=") for p in os.listdir(store))
 
 
 def test_session_windows_streaming_with_watermark(spark, tmp_path):
