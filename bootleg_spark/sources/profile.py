@@ -11,9 +11,14 @@ Reference semantics (all re-implemented, none copied):
 - candidate lists sorted (score desc, qid desc) and truncated to
   max_candidates (entity_symbols.py:305-316 via :93-96);
 - eids are dense 1-based ids, 0/-1 reserved (entity_symbols.py:43-45).
-  The reference numbers by *file insertion order*; a distributed engine
-  cannot (row order is partition-dependent), so we number by sorted
-  entity_id — documented deviation, still unique + contiguous + 1-based;
+  The reference numbers by *file insertion order*; the default reader
+  numbers by sorted entity_id (order-free, one fewer pass). For exact
+  insertion-order parity — outputs joinable against reference-produced
+  eids — use :func:`read_profile_jsonl_ordered` +
+  ``profile_entities(order="file")``: line numbers come from
+  ``zipWithIndex`` over the text RDD, whose partition order follows the
+  Hadoop input splits (file, then byte offset), i.e. the file order the
+  reference enumerates in;
 - per-system type lists truncated to max_types preserving list order
   (type_symbols.py:60-65);
 - per-(qid, relation) object lists truncated to max_connections
@@ -92,6 +97,46 @@ def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`read_profile_jsonl` plus a ``_line_no`` column carrying the
+    file insertion order, for exact eid parity with the reference's
+    enumeration (entity_symbols.py:43-47 numbers eids in file order).
+
+    ``zipWithIndex`` runs one extra count job over the partitions (the
+    same O(#partitions) driver traffic as dense_ids' phase 2); indices
+    follow the text-source split order (file, then byte offset), which
+    is the order a sequential reader sees."""
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    raw = spark.createDataFrame(lines, "value string, _line_no long")
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            PROFILE_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+        "value",
+        "_line_no",
+    )
+    return parsed.select(
+        F.col("j.entity_id").alias("entity_id"),
+        F.col("j.mentions").alias("mentions"),
+        F.coalesce("j.title", "j.entity_id").alias("title"),
+        F.coalesce("j.description", F.lit("")).alias("description"),
+        F.coalesce(
+            "j.types", F.create_map().cast(PROFILE_SCHEMA["types"].dataType)
+        ).alias("types"),
+        F.coalesce(
+            "j.relations", F.array().cast(PROFILE_SCHEMA["relations"].dataType)
+        ).alias("relations"),
+        # from_json leaves the corrupt slot null for unparseable lines on
+        # some parser paths — normalize: a null struct means corrupt
+        F.when(F.col("j").isNull() | F.col("j._corrupt").isNotNull(), F.col("value")).alias(
+            "_corrupt"
+        ),
+        "_line_no",
+    )
+
+
 def validate_profile(profile: DataFrame) -> DataFrame:
     """(entity_id, error) rows for every contract violation the
     reference raises on (entity_profile.py:225-242): malformed JSON,
@@ -128,13 +173,34 @@ def assert_valid_profile(profile: DataFrame, max_show: int = 5) -> None:
         raise ValueError(f"invalid entity profile: {msg}")
 
 
-def profile_entities(profile: DataFrame, ascii_fast_path: bool = False) -> DataFrame:
-    """Entity dim (qid, eid, title, descr): dense 1-based eids by sorted
-    entity_id via the two-phase distributed numbering (no global
-    window) — entity_symbols.py:43-45 with the documented order
-    deviation (module docstring)."""
+def profile_entities(
+    profile: DataFrame, ascii_fast_path: bool = False, order: str = "qid"
+) -> DataFrame:
+    """Entity dim (qid, eid, title, descr): dense 1-based eids via the
+    two-phase distributed numbering (no global window) —
+    entity_symbols.py:43-45.
+
+    ``order="qid"`` (default) numbers by sorted entity_id (order-free);
+    ``order="file"`` numbers by the ``_line_no`` column from
+    :func:`read_profile_jsonl_ordered` — exact insertion-order parity
+    with the reference's enumeration (module docstring)."""
     from bootleg_spark.operators.ids import dense_ids
 
+    if order == "file":
+        if "_line_no" not in profile.columns:
+            raise ValueError(
+                "order='file' needs the _line_no column — read the profile "
+                "with read_profile_jsonl_ordered"
+            )
+        ents = profile.select(
+            F.col("entity_id").alias("qid"),
+            "title",
+            F.col("description").alias("descr"),
+            "_line_no",
+        )
+        return dense_ids(ents, "_line_no", id_col="eid", start=1).drop("_line_no")
+    if order != "qid":
+        raise ValueError(f"unknown order {order!r} (expected 'qid' or 'file')")
     ents = profile.select(
         F.col("entity_id").alias("qid"),
         "title",

@@ -216,3 +216,49 @@ def test_reference_sample_roundtrip(spark):
     assert [t[2] for t in q1000_rels] == sorted(
         ["Q1009", "Q971", "Q983", "Q1039", "Q916"]
     )
+
+
+def test_file_order_eids_match_reference_enumeration(spark, tmp_path):
+    """order='file' must reproduce the reference's insertion-order eid
+    enumeration (entity_symbols.py:43-47) exactly — entities deliberately
+    NOT in sorted-qid order, so the two numberings differ."""
+    from bootleg_spark.sources.profile import read_profile_jsonl_ordered
+
+    rows = [
+        {"entity_id": "Q9", "mentions": [["z", 1.0]], "title": "Z"},
+        {"entity_id": "Q1", "mentions": [["a", 1.0]], "title": "A"},
+        {"entity_id": "Q5", "mentions": [["m", 1.0]], "title": "M"},
+    ]
+    p = tmp_path / "ordered.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    prof = read_profile_jsonl_ordered(spark, str(p))
+    assert_valid_profile(prof.drop("_line_no"))
+    by_file = {
+        r["qid"]: r["eid"] for r in profile_entities(prof, order="file").collect()
+    }
+    # file order: Q9=1, Q1=2, Q5=3 (the reference's enumeration)
+    assert by_file == {"Q9": 1, "Q1": 2, "Q5": 3}
+    # sorted-qid default disagrees on this fixture (documents the deviation)
+    by_qid = {r["qid"]: r["eid"] for r in profile_entities(prof).collect()}
+    assert by_qid == {"Q1": 1, "Q5": 2, "Q9": 3}
+    # order='file' without the ordered reader is a loud error
+    with pytest.raises(ValueError, match="_line_no"):
+        profile_entities(prof.drop("_line_no"), order="file")
+
+
+def test_ordered_reader_matches_default_on_reference_sample(spark):
+    """The ordered reader's parsed columns must agree with the default
+    reader row-for-row on the reference's full 1,523-line sample; line
+    numbers must be exactly 0..n-1 (split order == file order)."""
+    if not os.path.exists(REF_SAMPLE):
+        pytest.skip("reference sample not present")
+    from bootleg_spark.sources.profile import read_profile_jsonl_ordered
+
+    ordered = read_profile_jsonl_ordered(spark, REF_SAMPLE)
+    default = read_profile_jsonl(spark, REF_SAMPLE)
+    n = default.count()
+    lns = [r["_line_no"] for r in ordered.select("_line_no").collect()]
+    assert sorted(lns) == list(range(n))
+    a = {r["entity_id"]: (r["title"], r["description"]) for r in ordered.collect()}
+    b = {r["entity_id"]: (r["title"], r["description"]) for r in default.collect()}
+    assert a == b
