@@ -86,10 +86,11 @@ def extract_media_features(
                 if dec is not None:
                     feats.append(dec(payload))
                 else:
-                    # vectorized byte histogram: frombuffer+bincount is
-                    # ~50× a per-byte Python loop on multi-KB payloads
-                    # and bit-identical (integer-valued counts, same
-                    # normalizing division)
+                    # vectorized byte histogram: frombuffer+bincount
+                    # measured 13× a per-byte Python loop on 4 KB
+                    # payloads (377 → 28 µs/row; the gap widens with
+                    # payload size) and bit-identical (integer-valued
+                    # counts, same normalizing division)
                     arr = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
                     hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
                     total = hist.sum() or 1.0
