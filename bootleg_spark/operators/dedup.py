@@ -338,3 +338,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, cluster_id, keep): every corpus doc labeled with its near-dup
+    cluster and a keep flag — the "keep one representative per cluster"
+    step every dedup pipeline ends with. Singletons (docs in no pair)
+    are their own cluster; the representative is the smallest id.
+
+    One left join of the corpus against the cluster table, which holds
+    only ids that appear in a pair (O(duplicates) rows, typically a
+    small fraction of the corpus) — the corpus side never shuffles more
+    than the join requires, and AQE turns the join into a broadcast when
+    the cluster table fits."""
+    clusters = dup_clusters(pairs)
+    labeled = docs.select(F.col(id_col).cast("long").alias("id")).join(
+        clusters, "id", "left"
+    )
+    return labeled.select(
+        "id",
+        F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+    ).withColumn("keep", (F.col("id") == F.col("cluster_id")).cast("int"))

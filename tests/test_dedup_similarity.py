@@ -81,3 +81,25 @@ def test_dup_clusters_chain_and_components(spark):
     assert all(got[i] == 1 for i in range(1, 31))
     assert all(got[i] == 100 for i in (100, 101, 102))
     assert len(got) == 33
+
+
+def test_dedup_keep_singletons_and_clusters(spark):
+    """Keep-one-per-cluster: singletons keep themselves; within a
+    near-dup cluster only the smallest id survives."""
+    from bootleg_spark.operators.dedup import dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: (r["cluster_id"], r["keep"]) for r in dedup_keep(docs, pairs).collect()}
+    assert got == {
+        0: (0, 1),  # singleton
+        1: (1, 1),  # cluster {1,3,5} representative
+        2: (2, 1),  # cluster {2,4} representative
+        3: (1, 0),
+        4: (2, 0),
+        5: (1, 0),
+    }
