@@ -94,3 +94,28 @@ def test_tokenizer_interface():
     t = WhitespaceTokenizer(model_max_length=16)
     assert t.tokenize("a b  c") == ["a", "b", "c"]
     assert t.convert_tokens_to_string(["a", "b"]) == "a b"
+
+
+def test_entity_strings_multi_system_requires_named_system(spark):
+    """Passing a multi-system type dim without naming a type_system must
+    raise (round-2 advice: silently joining every system duplicated one
+    entity-string row per system per qid)."""
+    import pytest
+
+    from bootleg_spark.operators.linking import entity_strings
+
+    ents = spark.createDataFrame(
+        [("Q1", 1, "a", "T1", "d", "ty")], ["qid", "eid", "alias", "title", "descr", "type_name"]
+    )
+    kg = spark.createDataFrame(
+        [], "subj_qid string, rel string, obj_qid string, obj_qnum long"
+    )
+    types = spark.createDataFrame(
+        [("Q1", "wiki", ["a"]), ("Q1", "hyena", ["b"])],
+        "qid string, type_system string, typenames array<string>",
+    )
+    with pytest.raises(ValueError, match="type_system"):
+        entity_strings(ents, kg, entity_types=types).collect()
+    # naming a system works
+    out = entity_strings(ents, kg, entity_types=types, type_system="wiki").collect()
+    assert len(out) == 1
