@@ -143,9 +143,13 @@ def _scaling(sf_dir: str) -> None:
     for pair in pairs_env.split(";"):
         n_cores, n4_cores = (int(x) for x in pair.split(","))
         factor = n4_cores / n_cores
-        # input sized to the pair: per-task work stays seconds-scale at
-        # the SMALL level too (identical input within the pair)
-        rep = max(25, round(3.125 * n4_cores))
+        # input sized to the pair: per-task work must stay well above the
+        # ~30 ms local-mode task-launch floor at the LARGE level too
+        # (identical input within the pair). Round 3's extractor speedups
+        # (2.9×) shrank per-task work under the old sizing to ~45 ms and
+        # scaling collapsed to the launch overhead — resized so the large
+        # level's tasks run ~0.5-1 s again.
+        rep = max(100, round(12.5 * n4_cores))
         # Alternate the two levels per round, and measure the HARDWARE
         # ceiling (pinned pure-Python burn, perfectly parallel) inside
         # the same round: neighbor-steal drift on this virtualized host
@@ -168,12 +172,15 @@ def _scaling(sf_dir: str) -> None:
         speedup = best[2]
         efficiency = speedup / factor
         med_efficiency = med_speedup / factor
+        # a failed/zero ceiling measurement degrades to 1.0 (perfect
+        # hardware), which only UNDERSTATES efficiency-vs-ceiling —
+        # never crashes the report on a None
         per_round = [
             {
                 "speedup": round(s, 3),
                 "efficiency": round(s / factor, 3),
-                "ceiling": round(c, 3),
-                "efficiency_vs_ceiling": round((s / factor) / c, 3) if c else None,
+                "ceiling": round(c or 1.0, 3),
+                "efficiency_vs_ceiling": round((s / factor) / (c or 1.0), 3),
             }
             for _, _, s, c in rounds_out
         ]

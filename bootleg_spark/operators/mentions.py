@@ -65,16 +65,22 @@ _RE_TOKEN = re.compile(r"\S+")
 _SKIP_SAFE_RE = re.compile(r"^[A-Za-z0-9 ]*$")
 
 
-def tokenize_with_offsets(text: str) -> list[tuple[str, int]]:
+def tokenize_with_offsets(text: str, clean: bool | None = None) -> list[tuple[str, int]]:
     """Whitespace tokens with char offsets, peeling boundary punctuation
     into separate tokens (deterministic stand-in for spaCy's tokenizer;
     the reference reads ``token.idx`` per spaCy token,
-    mention_extractor_utils.py:118-120)."""
+    mention_extractor_utils.py:118-120).
+
+    ``clean`` short-circuits the pure-alnum+space check when the caller
+    already matched _SKIP_SAFE_RE (ngram_extract_aliases does — avoids a
+    second O(len) regex scan per document on the hot path)."""
     # fast path: pure alnum+space text has nothing to peel — skip the
     # per-token boundary loops AND the regex Match objects (tokenization
     # was ~36% of fused-path Python time on the clean web corpus;
     # str.split + a running offset is ~4× the finditer form)
-    if _SKIP_SAFE_RE.match(text) is not None:
+    if clean is None:
+        clean = _SKIP_SAFE_RE.match(text) is not None
+    if clean:
         out = []
         pos = 0
         for w in text.split(" "):
@@ -138,10 +144,10 @@ def ngram_extract_aliases(
     extractor time on clean web text with a short dictionary; output
     provably unchanged (tests/test_mentions.py pins the punctuated case).
     """
-    toks = tokenize_with_offsets(text)
+    skip_safe = _SKIP_SAFE_RE.match(text) is not None
+    toks = tokenize_with_offsets(text, clean=skip_safe)
     if not toks:
         return []
-    skip_safe = _SKIP_SAFE_RE.match(text) is not None
     keep = [_pos_keep(t) for t, _ in toks]
     used: list[tuple[str, int, int]] = []
     n_toks = len(toks)

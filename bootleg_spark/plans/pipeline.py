@@ -459,6 +459,9 @@ def materialize_triples(
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         store.write_buckets(tri, triples_path, mode="overwrite")
+        # marker lets any other store consumer (e.g. the streaming merge,
+        # whose key is (subj,pred,obj), not doc_id) refuse this layout
+        store.write_layout_marker(pipe.spark, triples_path, layout)
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     dt = time.time() - t0

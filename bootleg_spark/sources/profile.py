@@ -74,16 +74,11 @@ PROFILE_SCHEMA = StructType(
 )
 
 
-def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Read a raw entity-profile JSONL file (entity_profile.py:146-204).
-
-    Missing optional keys get the reference defaults (title=entity_id,
-    description=''); malformed JSON lines land in ``_corrupt`` for
-    :func:`validate_profile` instead of failing the whole read.
-    """
-    df = spark.read.schema(PROFILE_SCHEMA).option(
-        "columnNameOfCorruptRecord", "_corrupt"
-    ).json(path)
+def _apply_profile_defaults(df: DataFrame, *extra_cols: str) -> DataFrame:
+    """The reference's missing-key defaults (entity_profile.py:225-240):
+    title=entity_id, description='', empty types map / relations list.
+    ONE definition shared by both readers — a new optional field or a
+    changed default must not be able to diverge between them."""
     return df.select(
         "entity_id",
         "mentions",
@@ -94,7 +89,21 @@ def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
             "relations", F.array().cast(PROFILE_SCHEMA["relations"].dataType)
         ).alias("relations"),
         "_corrupt",
+        *extra_cols,
     )
+
+
+def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a raw entity-profile JSONL file (entity_profile.py:146-204).
+
+    Missing optional keys get the reference defaults (title=entity_id,
+    description=''); malformed JSON lines land in ``_corrupt`` for
+    :func:`validate_profile` instead of failing the whole read.
+    """
+    df = spark.read.schema(PROFILE_SCHEMA).option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return _apply_profile_defaults(df)
 
 
 def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
@@ -117,24 +126,22 @@ def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
         "value",
         "_line_no",
     )
-    return parsed.select(
+    # from_json leaves the corrupt slot null for unparseable lines on
+    # some parser paths — normalize: a null struct means corrupt. The
+    # default-coalescing projection is shared with read_profile_jsonl.
+    flat = parsed.select(
         F.col("j.entity_id").alias("entity_id"),
         F.col("j.mentions").alias("mentions"),
-        F.coalesce("j.title", "j.entity_id").alias("title"),
-        F.coalesce("j.description", F.lit("")).alias("description"),
-        F.coalesce(
-            "j.types", F.create_map().cast(PROFILE_SCHEMA["types"].dataType)
-        ).alias("types"),
-        F.coalesce(
-            "j.relations", F.array().cast(PROFILE_SCHEMA["relations"].dataType)
-        ).alias("relations"),
-        # from_json leaves the corrupt slot null for unparseable lines on
-        # some parser paths — normalize: a null struct means corrupt
+        F.col("j.title").alias("title"),
+        F.col("j.description").alias("description"),
+        F.col("j.types").alias("types"),
+        F.col("j.relations").alias("relations"),
         F.when(F.col("j").isNull() | F.col("j._corrupt").isNotNull(), F.col("value")).alias(
             "_corrupt"
         ),
         "_line_no",
     )
+    return _apply_profile_defaults(flat, "_line_no")
 
 
 def validate_profile(profile: DataFrame) -> DataFrame:

@@ -55,6 +55,51 @@ def read_buckets(spark: SparkSession, path: str, buckets: list[int]) -> DataFram
     return spark.read.parquet(path).where(F.col(BUCKET_COL).isin(buckets))
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def write_layout_marker(spark: SparkSession, path: str, layout: str) -> None:
+    """Record ``layout`` in ``<path>/_LAYOUT`` (overwrites). Call when
+    creating a bucketed store so later writers can refuse a mismatched
+    scheme instead of silently mixing partition layouts."""
+    fs, _ = _fs_and_path(spark, path)
+    _, marker = _fs_and_path(spark, path.rstrip("/") + "/_LAYOUT")
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(layout.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_layout_marker(spark: SparkSession, path: str) -> str | None:
+    """The layout id recorded at ``<path>/_LAYOUT``, or None if absent
+    (a store predating layout versioning — treat as a mismatch)."""
+    fs, _ = _fs_and_path(spark, path)
+    _, marker = _fs_and_path(spark, path.rstrip("/") + "/_LAYOUT")
+    if not fs.exists(marker):
+        return None
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(marker)))
+    try:
+        return reader.readLine()
+    finally:
+        reader.close()
+
+
+def check_layout(spark: SparkSession, path: str, layout: str) -> None:
+    """Raise unless the store at ``path`` records exactly ``layout``."""
+    found = read_layout_marker(spark, path)
+    if found != layout:
+        raise ValueError(
+            f"store {path} was written under layout {found!r}, current "
+            f"layout is {layout!r}; merging would mix partition schemes — "
+            "use a fresh path or migrate the store"
+        )
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence check — valid for hdfs://, s3a://, file://
     alike (``os.path.exists`` would silently say "no" for any non-local

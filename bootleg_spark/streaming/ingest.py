@@ -77,6 +77,7 @@ def merge_new_triples(
     Store absence must be decided explicitly: only a missing path skips
     the anti-join; real read errors propagate.
     """
+    layout = store.layout_id(_KEY, n_buckets)
     keyed = store.with_bucket(new.select(*_KEY), _KEY, n_buckets)
     # buckets present in this batch: <= n_buckets tiny rows to the driver.
     # unpersist must target the SAME handle that was persisted — calling
@@ -91,9 +92,17 @@ def merge_new_triples(
         )
         out = cached
         if store.path_exists(spark, triples_path):
+            # refuse a store written under a different bucket key/count/
+            # column (incl. pre-versioning stores with no marker) — the
+            # anti-join would read the wrong partitions and the write
+            # would mix directory schemes
+            store.check_layout(spark, triples_path, layout)
             existing = store.read_buckets(spark, triples_path, touched).select(*_KEY)
             out = cached.join(existing, _KEY, "left_anti")
-        store.write_buckets(out, triples_path)
+            store.write_buckets(out, triples_path)
+        else:
+            store.write_buckets(out, triples_path)
+            store.write_layout_marker(spark, triples_path, layout)
     finally:
         cached.unpersist()
     return touched

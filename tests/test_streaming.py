@@ -134,3 +134,21 @@ def test_session_windows_streaming_with_watermark(spark, tmp_path):
     # never appears anywhere
     assert (1, 2, 3.0) in got
     assert not any(abs(tv - 100.0) < 1e-9 or tv > 99 for _, _, tv in got)
+
+
+def test_merge_refuses_layout_mismatch(spark, tmp_path):
+    """A store written under a different bucket count (or with no layout
+    marker at all — pre-versioning) must be refused, not silently merged
+    with the wrong partition pruning."""
+    import pytest
+
+    from bootleg_spark.streaming.ingest import merge_new_triples
+
+    store_path = str(tmp_path / "triples")
+    mk = lambda rows: spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    merge_new_triples(spark, mk([("A", "r", "B")]), store_path, n_buckets=64)
+    with pytest.raises(ValueError, match="layout"):
+        merge_new_triples(spark, mk([("C", "r", "D")]), store_path, n_buckets=32)
+    os.remove(os.path.join(store_path, "_LAYOUT"))
+    with pytest.raises(ValueError, match="layout"):
+        merge_new_triples(spark, mk([("C", "r", "D")]), store_path, n_buckets=64)
