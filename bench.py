@@ -147,9 +147,10 @@ def _scaling(sf_dir: str) -> None:
         # ~30 ms local-mode task-launch floor at the LARGE level too
         # (identical input within the pair). Round 3's extractor speedups
         # (2.9×) shrank per-task work under the old sizing to ~45 ms and
-        # scaling collapsed to the launch overhead — resized so the large
-        # level's tasks run ~0.5-1 s again.
-        rep = max(100, round(12.5 * n4_cores))
+        # scaling collapsed to the launch overhead — measured at sf0.1:
+        # rep=100 (0.1 s/task @8c) gave 2→8 eff 0.71; rep=400 (0.4 s/task)
+        # gave 0.94. Keep large-level tasks ≳0.3 s.
+        rep = max(400, 50 * n4_cores)
         # Alternate the two levels per round, and measure the HARDWARE
         # ceiling (pinned pure-Python burn, perfectly parallel) inside
         # the same round: neighbor-steal drift on this virtualized host
@@ -227,7 +228,17 @@ def _scaling(sf_dir: str) -> None:
         "pairs": reports,
         "sf": sf_dir,
     }))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # preserve the manually measured stage-breakdown section (from
+    # scripts/stage_breakdown.py) across regenerations of the scaling part
+    breakdown = ""
+    if os.path.exists(bench_md):
+        with open(bench_md) as f:
+            prior = f.read()
+        marker = "## Where the time goes"
+        if marker in prior:
+            breakdown = "\n" + prior[prior.index(marker):].rstrip() + "\n"
+    with open(bench_md, "w") as f:
         f.write(
             "# BENCH — scaling evidence (north_rule: N → 4N efficiency ≥ 0.8)\n\n"
             "Same end-to-end KG pipeline (pages → extract → ngram mentions →\n"
@@ -245,6 +256,7 @@ def _scaling(sf_dir: str) -> None:
             "virtualized host, so its ceiling is the box, not the plan.\n\n"
             + "\n".join(sections)
             + f"\ninput: {sf_dir}\n"
+            + breakdown
         )
 
 
