@@ -1,0 +1,151 @@
+"""Corpus hygiene for training-data pipelines: PII scrubbing, URL
+canonicalization, and benchmark decontamination.
+
+Engine extensions beyond the reference (task brief: the operations a
+large-scale training-data pipeline needs). All three are pure JVM
+expression plans (whole-stage codegen, no Python) with exact DuckDB SQL
+mirrors; the regex dialect is restricted to the Java-regex ∩ RE2 subset
+(no lookarounds, no backrefs) so Spark and the oracle match
+byte-for-byte.
+
+Scale notes:
+- ``scrub_pii`` is a narrow projection — runs inside the scan stage,
+  shuffle-free, and the counts columns make redaction-rate monitoring a
+  map-side aggregate.
+- ``canonical_urls`` is likewise shuffle-free; URL-level dedup is its
+  composition with :func:`bootleg_spark.operators.dedup.dedup_exact`
+  on the canonical column.
+- ``ngram_contamination`` broadcasts the *eval-set* shingles (benchmark
+  suites are MBs against a 100 TB corpus) so the corpus side joins
+  map-side with no shuffle of corpus shingles; only the per-doc hit
+  counts aggregate (partial, map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bootleg_spark.operators.dedup import _doc_sizes, word_shingles
+
+# Java-regex ∩ RE2 portable patterns (no lookaround/backref); DuckDB
+# single-quoted strings pass backslashes through literally, so these
+# exact strings are embedded in the oracle SQL too.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,3}-\d{3}-\d{3,4}-\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails → ``<EMAIL>``, then phones → ``<PHONE>``, then IPv4
+    literals → ``<IP>``; count each category as it is removed.
+
+    The three passes are SEQUENTIAL and ordered most-specific-first:
+    counts for pass k are computed on the text with passes < k already
+    applied, so a token never double-counts (an email's host can't also
+    match as a bare domain/IP). Returns
+    ``(id, n_emails, n_phones, n_ips, clean_text)``.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), 0))
+    t2 = F.regexp_replace(t1, PHONE_RE, "<PHONE>")
+    n_ips = F.size(F.regexp_extract_all(t2, F.lit(IP_RE), 0))
+    t3 = F.regexp_replace(t2, IP_RE, "<IP>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        t3.alias("clean_text"),
+    )
+
+
+# Tracking params dropped during canonicalization (prefix match for the
+# utm_ family, exact-key match for the rest).
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_KEYS = ("fbclid", "gclid", "ref")
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Canonical URL form for URL-level dedup of a web crawl:
+
+    - drop the fragment (``#...``);
+    - lowercase scheme and host; strip a leading ``www.``; strip the
+      scheme's default port (``:80`` http / ``:443`` https);
+    - strip one trailing slash from the path (root stays ``/``; an
+      empty path becomes ``/``);
+    - drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), sort the survivors, and rejoin.
+
+    Returns ``(id, url_raw, url_canon)``. URL-level dedup = compose with
+    ``dedup_exact(out, text_col="url_canon", id_col="id")``.
+    """
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, "#.*", "")
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    path_c = F.regexp_replace(path, "/$", "")
+    path_c = F.when(path_c == "", "/").otherwise(path_c)
+    def _keep(p):
+        cond = p != ""
+        for pref in TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pref)
+        for key in TRACKING_KEYS:
+            cond = cond & ~p.startswith(key + "=")
+        return cond
+
+    parts = F.filter(F.split(query, "&"), _keep)
+    qs = F.concat_ws("&", F.array_sort(parts))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path_c,
+        F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), u.alias("url_raw"), canon.alias("url_canon")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-gram shingles also occur anywhere in the eval set.
+
+    Returns ``(id, n_hit, n_shingles, hit_frac)`` for documents with at
+    least one overlapping shingle — the candidates to drop or audit
+    before training. The eval shingle set is broadcast (benchmark suites
+    are small); the corpus side therefore joins map-side and only the
+    per-doc counts shuffle.
+    """
+    c_sh = word_shingles(corpus, n, text_col, id_col)
+    e_sh = word_shingles(eval_docs, n, text_col, id_col).select("shingle").distinct()
+    hits = (
+        c_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    sizes = _doc_sizes(c_sh)
+    return hits.join(sizes, "id").select(
+        "id",
+        "n_hit",
+        F.col("n_shingles"),
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("hit_frac"),
+    )

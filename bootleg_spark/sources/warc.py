@@ -1,0 +1,169 @@
+"""WARC (Web ARChive) source/sink plumbing for Common-Crawl-style input.
+
+BASELINE.json's input_hint is a Common-Crawl-shaped pages table; the
+upstream of such a table is WARC files. This module provides both
+directions so the engine can ingest raw WARC and the tests can
+round-trip:
+
+- :func:`pages_to_warc` — serialize pages into multi-record WARC/1.0
+  buffers, entirely JVM-side (header strings + binary concat);
+- :func:`parse_warc` — parse WARC buffers (plain or gzip, including
+  Common Crawl's member-per-record gzip layout) into one row per
+  response record, via an Arrow-batched ``mapInPandas``.
+
+Scale notes: on a real cluster the input arrives as files — read them
+with ``spark.read.format("binaryFile")`` (one file per row, the exact
+shape ``parse_warc`` consumes) and let file granularity drive
+parallelism; Common Crawl segments are ~1 GB gzip so one file per task
+is the right unit. The parser streams each buffer once, O(record) at a
+time, and emits only response records. The builder aggregates records
+per bucket with a bounded group size — a production sink would instead
+write per-partition WARC files from ``mapInPandas`` (same record
+bytes), but the grouped-buffer shape is what exercises the multi-record
+parse path hermetically.
+
+WARC/1.0 format (ISO 28500): records are
+``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length payload bytes>\\r\\n\\r\\n``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def warc_record_bytes(url_col, ts_col, payload_col):
+    """Column expression: one WARC/1.0 response record as binary.
+
+    ``Content-Length`` is the payload byte length (``length`` on a
+    binary column counts bytes). Pure JVM string/binary concat.
+    """
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url_col,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(ts_col, WARC_DATE_FMT),
+        F.lit("\r\nContent-Length: "),
+        F.length(payload_col).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.concat(F.encode(header, "UTF-8"), payload_col, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+
+
+def pages_to_warc(
+    pages: DataFrame,
+    group_mod: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, warc): multi-record WARC buffers, ``group_mod`` of them,
+    records concatenated in ``id_col`` order within each bucket.
+
+    Deterministic: bucket assignment is ``pmod(id, group_mod)`` and the
+    in-buffer order is the sorted id, so the same input always yields
+    byte-identical buffers (testable against goldens).
+    """
+    rec = pages.select(
+        F.pmod(F.col(id_col), F.lit(group_mod)).cast("long").alias("bucket"),
+        F.col(id_col).alias("_id"),
+        warc_record_bytes(F.col(url_col), F.col(ts_col), F.col(payload_col)).alias("rec"),
+    )
+    return (
+        rec.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "rec"))).alias("recs"))
+        .select(
+            "bucket",
+            F.aggregate(
+                F.col("recs"),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["rec"]),
+            ).alias("warc"),
+        )
+    )
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream — Common Crawl
+    gzips each record as its own member, so loop until input exhausts."""
+    out = []
+    while b:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(b))
+        out.append(d.flush())
+        b = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_buffer(b: bytes) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (target_uri, warc_date, payload) for each response record.
+
+    Plain single-process parser (also the Spark UDF's inner loop):
+    header block up to the first CRLFCRLF, ``Content-Length`` bytes of
+    payload, record terminator CRLFCRLF. Non-response records
+    (warcinfo, request, metadata) are parsed and skipped. Malformed
+    trailing bytes end the scan rather than raising — a truncated tail
+    record is a fact of life in crawl data.
+    """
+    if b[:2] == b"\x1f\x8b":
+        b = _gunzip_members(b)
+    i = 0
+    n = len(b)
+    while i < n:
+        j = b.find(b"\r\n\r\n", i)
+        if j < 0:
+            break
+        lines = b[i:j].decode("utf-8", "replace").split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        hdr = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                hdr[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdr.get("content-length", ""))
+        except ValueError:
+            break
+        payload = b[j + 4 : j + 4 + clen]
+        if len(payload) < clen:
+            break  # truncated tail record
+        if hdr.get("warc-type") == "response":
+            yield hdr.get("warc-target-uri", ""), hdr.get("warc-date", ""), payload
+        i = j + 4 + clen + 4  # skip the record terminator CRLFCRLF
+
+
+def parse_warc(df: DataFrame, content_col: str = "warc") -> DataFrame:
+    """One row per WARC response record across all buffers in
+    ``df[content_col]`` (binary). Arrow-batched ``mapInPandas``; each
+    task parses its buffers independently (no shuffle)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, dates, payloads = [], [], []
+            for buf in pdf[content_col]:
+                for uri, date, payload in parse_warc_buffer(bytes(buf)):
+                    uris.append(uri)
+                    dates.append(date)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {"target_uri": uris, "warc_date": dates, "payload": payloads}
+            )
+
+    return df.select(content_col).mapInPandas(_parse, PARSED_SCHEMA)

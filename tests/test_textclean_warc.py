@@ -1,0 +1,140 @@
+"""Corpus hygiene (PII scrub, URL canonicalization, decontamination)
+and WARC source tests."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from bootleg_spark.operators import textclean
+from bootleg_spark.sources import synth, warc
+from tests.conftest import SF_SMOKE
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestScrubPii:
+    def test_redacts_and_counts(self, spark):
+        rows = [
+            (1, "mail me at a.b+c@ex-ample.co.uk or call +1-555-123-4567 now"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "clean text no pii at all"),
+        ]
+        out = {
+            r["id"]: r
+            for r in textclean.scrub_pii(_df(spark, rows, "doc_id long, text string")).collect()
+        }
+        assert out[1]["clean_text"] == "mail me at <EMAIL> or call <PHONE> now"
+        assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+        assert out[2]["clean_text"] == "server <IP> and <IP> up"
+        assert out[2]["n_ips"] == 2
+        # non-PII text unchanged (the scrubber must not rewrite clean rows)
+        assert out[3]["clean_text"] == rows[2][1]
+        assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+
+    def test_sequential_counts_no_double_count(self, spark):
+        # the email's digits must not also count as a phone/IP
+        rows = [(1, "x 1.2.3.4u@h.io y")]  # not a valid bare IP (trailing letter in host)
+        r = textclean.scrub_pii(_df(spark, rows, "doc_id long, text string")).collect()[0]
+        assert r["n_emails"] == 1
+        assert r["n_ips"] == 0
+        assert r["clean_text"] == "x <EMAIL> y"
+
+
+class TestCanonicalUrls:
+    def test_variants_collapse(self, spark):
+        rows = [
+            (0, "HTTPS://WWW.Example.org:443/a/b/?utm_source=f&b=2&a=1#frag"),
+            (1, "https://example.org/a/b?a=1&b=2"),
+            (2, "https://example.org/a/b/?b=2&a=1&gclid=zz"),
+        ]
+        out = textclean.canonical_urls(
+            _df(spark, rows, "doc_id long, url string")
+        ).collect()
+        assert {r["url_canon"] for r in out} == {"https://example.org/a/b?a=1&b=2"}
+
+    def test_root_and_ports(self, spark):
+        rows = [
+            (0, "http://EXample.com:80/"),
+            (1, "http://example.com"),
+            (2, "http://example.com:8080/x/"),
+        ]
+        got = {
+            r["id"]: r["url_canon"]
+            for r in textclean.canonical_urls(_df(spark, rows, "doc_id long, url string")).collect()
+        }
+        assert got[0] == "http://example.com/"
+        assert got[1] == "http://example.com/"
+        assert got[2] == "http://example.com:8080/x"  # non-default port kept
+
+
+class TestContamination:
+    def test_hits_and_misses(self, spark):
+        corpus = _df(
+            spark,
+            [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+            "doc_id long, text string",
+        )
+        ev = _df(spark, [(100, "beta gamma delta epsilon")], "doc_id long, text string")
+        out = {r["id"]: r for r in textclean.ngram_contamination(corpus, ev, n=3).collect()}
+        # doc 1 shares 'beta gamma delta'; doc 2 shares nothing
+        assert set(out) == {1}
+        assert out[1]["n_hit"] == 1 and out[1]["n_shingles"] == 2
+        assert abs(out[1]["hit_frac"] - 0.5) < 1e-9
+
+
+class TestWarc:
+    def test_roundtrip_multi_record(self, spark):
+        pages = synth.pages_table(spark, SF_SMOKE)
+        n = pages.count()
+        bufs = warc.pages_to_warc(pages, group_mod=4)
+        assert bufs.count() == 4  # multi-record buffers, not one per page
+        recs = warc.parse_warc(bufs, "warc")
+        joined = (
+            recs.alias("r")
+            .join(pages.alias("p"), F.col("r.target_uri") == F.col("p.url"))
+            .where(F.col("r.payload") == F.col("p.html"))
+        )
+        assert joined.count() == n  # every page back, payload byte-identical
+
+    def test_parse_gzip_members(self):
+        # Common Crawl layout: one gzip member per record
+        payload = b"<html>x</html>"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+            + b"\r\n\r\n"
+        )
+        buf = gzip.compress(rec, mtime=0) + gzip.compress(rec, mtime=0)
+        out = list(warc.parse_warc_buffer(buf))
+        assert len(out) == 2
+        assert out[0] == ("http://a/", "2024-01-01T00:00:00Z", payload)
+
+    def test_skips_non_response_and_truncation(self):
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+        )
+        resp = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"WARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+        )
+        truncated = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort"
+        out = list(warc.parse_warc_buffer(info + resp + truncated))
+        assert out == [("u", "d", b"abc")]
+
+    def test_payload_with_crlfcrlf_inside(self):
+        # Content-Length framing must win over delimiter scanning
+        payload = b"AA\r\n\r\nBB"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\nWARC-Date: d\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+            + b"\r\n\r\n"
+        )
+        out = list(warc.parse_warc_buffer(rec + rec))
+        assert [p for _, _, p in out] == [payload, payload]
