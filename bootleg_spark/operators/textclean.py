@@ -119,6 +119,52 @@ def canonical_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") 
     )
 
 
+def select_training_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_quality: float = 0.0,
+    lang: str = "en",
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus curation: the composed "give me a clean
+    training corpus" selection a web-scale pipeline runs before
+    training. A document survives iff it
+
+    1. scores ``quality > min_quality`` AND language-IDs as ``lang``
+       (both computed IN the scan projection via
+       ``textstats.quality_exprs``/``lang_pred_expr`` — one pass over
+       the corpus, no self-join of derived frames);
+    2. is its exact-dup cluster's keeper (min id per content hash —
+       the ``dedup_exact`` rule);
+    3. shares no word ``shingle_n``-gram with the eval set
+       (:func:`ngram_contamination` anti-join, eval side broadcast).
+
+    Returns ``(id, n_words, quality, pred_lang)``. Near-dup removal
+    (``dedup.dedup_keep``) composes the same way when LSH-level dedup
+    is wanted; exact-only keeps this plan fully relational with two
+    shuffles (content-hash agg+join) beyond the scans.
+    """
+    from bootleg_spark.operators.dedup import dedup_exact
+    from bootleg_spark.operators.textstats import lang_pred_expr, quality_exprs
+
+    q = quality_exprs(text_col)
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        q["n_words"].alias("n_words"),
+        q["quality"].alias("quality"),
+        lang_pred_expr(text_col).alias("pred_lang"),
+    ).where((F.col("quality") > min_quality) & (F.col("pred_lang") == lang))
+    keepers = dedup_exact(docs, text_col, id_col)
+    kept = scored.join(keepers, "content_hash").where(F.col("id") == F.col("keep_id"))
+    cont = ngram_contamination(docs, eval_docs, shingle_n, text_col, id_col)
+    return kept.join(cont.select("id"), "id", "left_anti").select(
+        "id", "n_words", "quality", "pred_lang"
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -25,6 +25,21 @@ def _count_in(words_col, markers: tuple[str, ...]):
     return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
 
 
+def lang_pred_expr(text_col: str = "text"):
+    """pred_lang as a single column expression over ``text_col`` (for
+    composed single-scan plans; see :func:`quality_exprs`). Same
+    marker-vote + tie order as :func:`lang_id_heuristic`."""
+    words = F.split(F.col(text_col), " ")
+    c = {lang: _count_in(words, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] > 0), "en")
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] > 0), "de")
+        .when((c["es"] >= c["fr"]) & (c["es"] > 0), "es")
+        .when(c["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+
+
 def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, predicted_lang): language with the most marker-word hits;
     'und' (undetermined) when no marker occurs. Ties broken by fixed
@@ -70,9 +85,11 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_words, mean_word_len, stopword_ratio, quality): simple
-    length/stopword heuristics — documents outside sane bounds score 0."""
+def quality_exprs(text_col: str = "text") -> dict:
+    """The quality-score column expressions, exposed so composed plans
+    (e.g. ``textclean.select_training_corpus``) can evaluate them inside
+    an existing scan projection instead of self-joining two derived
+    frames on id — at corpus scale that self-join is a full shuffle."""
     words = F.split(F.col(text_col), " ")
     en_stop = LANG_MARKERS["en"]
     n_words = F.size(words)
@@ -84,12 +101,20 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .otherwise(0.0),
         6,
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "stopword_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, mean_word_len, stopword_ratio, quality): simple
+    length/stopword heuristics — documents outside sane bounds score 0."""
+    e = quality_exprs(text_col)
     return docs.select(
-        F.col(id_col).alias("id"),
-        n_words.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+        F.col(id_col).alias("id"), *[e[k].alias(k) for k in e]
     )
 
 

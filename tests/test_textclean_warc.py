@@ -86,6 +86,60 @@ class TestContamination:
         assert abs(out[1]["hit_frac"] - 0.5) < 1e-9
 
 
+class TestIdempotence:
+    """Hygiene ops must be fixed points on their own output — rerunning
+    a cleaning pass over an already-clean corpus is a no-op."""
+
+    def test_scrub_is_fixed_point(self, spark):
+        rows = [
+            (1, "a@b.io and +1-555-123-4567 and 1.2.3.4 end"),
+            (2, "nothing here"),
+        ]
+        once = textclean.scrub_pii(_df(spark, rows, "doc_id long, text string")).select(
+            F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+        )
+        twice = textclean.scrub_pii(once).collect()
+        for r in twice:
+            assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (0, 0, 0)
+
+    def test_canonical_is_fixed_point(self, spark):
+        import random
+
+        rng = random.Random(42)
+        urls = []
+        for i in range(200):
+            scheme = rng.choice(["http", "https", "HTTPS"])
+            host = rng.choice(["example.org", "WWW.Example.org", "a.b.co:8080", "x.io:443"])
+            path = rng.choice(["", "/", "/p", "/p/q/", "/p%20q"])
+            q = rng.choice(["", "?a=1", "?utm_x=1&b=2", "?b=2&a=1&gclid=g"])
+            frag = rng.choice(["", "#f"])
+            urls.append((i, f"{scheme}://{host}{path}{q}{frag}"))
+        once = textclean.canonical_urls(_df(spark, urls, "doc_id long, url string")).select(
+            F.col("id").alias("doc_id"), F.col("url_canon").alias("url")
+        )
+        again = textclean.canonical_urls(once)
+        diff = again.where(F.col("url_raw") != F.col("url_canon")).collect()
+        assert diff == []
+
+
+class TestCorpusSelect:
+    def test_rules_compose(self, spark):
+        docs = _df(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),   # keeper
+                (2, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+                (3, "der hund und die katze und der vogel sind hier ja"),   # german
+                (4, "short text"),                                          # fails quality
+                (5, "the eval set phrase appears here word for word now"),  # contaminated
+            ],
+            "doc_id long, text string",
+        )
+        ev = _df(spark, [(100, "the eval set phrase appears here ok")], "doc_id long, text string")
+        out = textclean.select_training_corpus(docs, ev, shingle_n=5)
+        assert {r["id"] for r in out.collect()} == {1}
+
+
 class TestWarc:
     def test_roundtrip_multi_record(self, spark):
         pages = synth.pages_table(spark, SF_SMOKE)
