@@ -125,5 +125,65 @@ def with_ctes(*ctes: str, final: str) -> str:
     return "WITH " + ",".join(ctes) + "\n" + final
 
 
+# -- shared fragment builders (single source for formulas duplicated
+# across oracle strings — change here, every consumer follows) ---------------
+
+
+def shingle_body_sql(n: int, src: str = "documents", extra_where: str = "") -> str:
+    """CTE body: DISTINCT (id, shingle) over word n-grams of src.text —
+    the SQL mirror of ``operators.dedup.word_shingles``."""
+    where = f" AND {extra_where}" if extra_where else ""
+    return f"""
+  SELECT DISTINCT doc_id AS id, s.shingle
+  FROM {src},
+  LATERAL (
+    SELECT array_to_string(list_slice(string_split(text,' '), i + 1, i + {n}), ' ') AS shingle
+    FROM unnest(range(0, greatest(len(string_split(text,' ')) - {n - 1}, 0))) AS t(i)
+  ) s
+  WHERE len(s.shingle) > 0{where}"""
+
+
+def band_minima_body_sql(n_bands: int = 8) -> str:
+    """CTE body: per-(id, band) MinHash bucket minima over a ``sh``
+    CTE — mirror of ``operators.dedup._band_minima``."""
+    vals = ",".join(f"({b})" for b in range(n_bands))
+    return f"""
+  SELECT id, b.band AS band, min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM sh CROSS JOIN (VALUES {vals}) b(band)
+  GROUP BY id, b.band"""
+
+
+def marker_count_sql(lang: str) -> str:
+    """Count of a language's marker words in text — mirror of
+    ``operators.textstats._count_in`` over ``LANG_MARKERS[lang]``."""
+    from bootleg_spark.operators.textstats import LANG_MARKERS
+
+    ms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text,' '), w -> w IN ({ms})))"
+
+
+def lang_case_sql() -> str:
+    """pred_lang CASE — mirror of ``textstats.lang_pred_expr`` (marker
+    vote, tie order en > de > es > fr, 'und' when no marker)."""
+    en, de, es, fr = (marker_count_sql(x) for x in ("en", "de", "es", "fr"))
+    return f"""CASE WHEN {en} >= {de} AND {en} >= {es} AND {en} >= {fr} AND {en} > 0 THEN 'en'
+              WHEN {de} >= {es} AND {de} >= {fr} AND {de} > 0 THEN 'de'
+              WHEN {es} >= {fr} AND {es} > 0 THEN 'es'
+              WHEN {fr} > 0 THEN 'fr'
+              ELSE 'und' END"""
+
+
+def quality_sql() -> str:
+    """quality score — mirror of ``textstats.quality_exprs['quality']``."""
+    n_words = "len(string_split(text,' '))"
+    mean_len = f"(len(text) - ({n_words} - 1)) * 1.0 / {n_words}"
+    stop_ratio = f"round({marker_count_sql('en')} * 1.0 / {n_words}, 6)"
+    return f"""round(CASE WHEN {n_words} >= 5
+                   AND {mean_len} >= 2.0
+                   AND {mean_len} <= 12.0
+             THEN 1.0 - abs({stop_ratio} - 0.05)
+             ELSE 0.0 END, 6)"""
+
+
 BASE = (WORDS, ALIASES, ENTITIES, ALIAS_CANDS, KG_RELATIONS)
 PIPELINE = BASE + (MENTIONS, LINKED, DOC_ENTITIES, TRIPLES)
