@@ -114,6 +114,13 @@ def canonical_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") 
         path_c,
         F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
     )
+    # Non-hierarchical / scheme-less URLs (mailto:, bare 'example.com/x',
+    # javascript: link debris) pass through UNCHANGED: without '://' the
+    # scheme/host/path extracts all return '' and every such URL would
+    # collapse to the single key ':///...' — composing with dedup_exact
+    # would then merge distinct pages into one dup group and drop all
+    # but one. Identity is the safe canon for shapes the rules don't fit.
+    canon = F.when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(u)
     return df.select(
         F.col(id_col).alias("id"), u.alias("url_raw"), canon.alias("url_canon")
     )
@@ -136,17 +143,23 @@ def select_training_corpus(
        (both computed IN the scan projection via
        ``textstats.quality_exprs``/``lang_pred_expr`` — one pass over
        the corpus, no self-join of derived frames);
-    2. is its exact-dup cluster's keeper (min id per content hash —
-       the ``dedup_exact`` rule);
-    3. shares no word ``shingle_n``-gram with the eval set
-       (:func:`ngram_contamination` anti-join, eval side broadcast).
+    2. is its exact-dup cluster's keeper (min id per content hash — the
+       ``dedup_exact`` rule; computed as a window over the FILTERED
+       frame, which is equivalent because exact dups share text and so
+       pass or fail rule 1 together — this avoids ``dedup_exact``'s
+       second full-corpus scan + hash);
+    3. shares no word ``shingle_n``-gram with the eval set (hit ids
+       joined directly — :func:`ngram_contamination`'s per-doc
+       counts/fractions would add an aggregation this anti-join never
+       reads; eval side broadcast).
 
     Returns ``(id, n_words, quality, pred_lang)``. Near-dup removal
     (``dedup.dedup_keep``) composes the same way when LSH-level dedup
-    is wanted; exact-only keeps this plan fully relational with two
-    shuffles (content-hash agg+join) beyond the scans.
+    is wanted; exact-only keeps this plan fully relational with one
+    content-hash shuffle of the filtered stream beyond the scans.
     """
-    from bootleg_spark.operators.dedup import dedup_exact
+    from pyspark.sql import Window
+
     from bootleg_spark.operators.textstats import lang_pred_expr, quality_exprs
 
     q = quality_exprs(text_col)
@@ -157,10 +170,18 @@ def select_training_corpus(
         q["quality"].alias("quality"),
         lang_pred_expr(text_col).alias("pred_lang"),
     ).where((F.col("quality") > min_quality) & (F.col("pred_lang") == lang))
-    keepers = dedup_exact(docs, text_col, id_col)
-    kept = scored.join(keepers, "content_hash").where(F.col("id") == F.col("keep_id"))
-    cont = ngram_contamination(docs, eval_docs, shingle_n, text_col, id_col)
-    return kept.join(cont.select("id"), "id", "left_anti").select(
+    w = Window.partitionBy("content_hash")
+    kept = scored.withColumn("keep_id", F.min("id").over(w)).where(
+        F.col("id") == F.col("keep_id")
+    )
+    e_sh = word_shingles(eval_docs, shingle_n, text_col, id_col).select("shingle").distinct()
+    cont_ids = (
+        word_shingles(docs, shingle_n, text_col, id_col)
+        .join(F.broadcast(e_sh), "shingle")
+        .select("id")
+        .distinct()
+    )
+    return kept.join(cont_ids, "id", "left_anti").select(
         "id", "n_words", "quality", "pred_lang"
     )
 

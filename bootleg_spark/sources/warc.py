@@ -101,12 +101,20 @@ def pages_to_warc(
 
 def _gunzip_members(b: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream — Common Crawl
-    gzips each record as its own member, so loop until input exhausts."""
+    gzips each record as its own member, so loop until input exhausts.
+    A malformed member (corrupt tail bytes in a crawl segment) ends the
+    scan with whatever decoded so far rather than raising — same
+    truncation contract as the record parser; losing the good records
+    of a 1 GB segment to a few trailing garbage bytes is the worse
+    failure mode."""
     out = []
     while b:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(b))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(b))
+            out.append(d.flush())
+        except zlib.error:
+            break
         b = d.unused_data
     return b"".join(out)
 

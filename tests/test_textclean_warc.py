@@ -56,6 +56,19 @@ class TestCanonicalUrls:
         ).collect()
         assert {r["url_canon"] for r in out} == {"https://example.org/a/b?a=1&b=2"}
 
+    def test_schemeless_passthrough(self, spark):
+        # non-hierarchical URLs must NOT collapse to a shared ':///' key
+        rows = [
+            (0, "example.com/a?x=1"),
+            (1, "other.net/b?x=1"),
+            (2, "mailto:a@b.io"),
+        ]
+        out = {
+            r["id"]: r["url_canon"]
+            for r in textclean.canonical_urls(_df(spark, rows, "doc_id long, url string")).collect()
+        }
+        assert out == {0: "example.com/a?x=1", 1: "other.net/b?x=1", 2: "mailto:a@b.io"}
+
     def test_root_and_ports(self, spark):
         rows = [
             (0, "http://EXample.com:80/"),
@@ -168,6 +181,19 @@ class TestWarc:
         out = list(warc.parse_warc_buffer(buf))
         assert len(out) == 2
         assert out[0] == ("http://a/", "2024-01-01T00:00:00Z", payload)
+
+    def test_gzip_corrupt_tail_keeps_good_members(self):
+        payload = b"<html>x</html>"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"WARC-Date: d\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+            + b"\r\n\r\n"
+        )
+        buf = gzip.compress(rec, mtime=0) + b"\x00\x00GARBAGE"
+        out = list(warc.parse_warc_buffer(buf))
+        assert out == [("u", "d", payload)]  # good member survives, no raise
 
     def test_skips_non_response_and_truncation(self):
         info = (
