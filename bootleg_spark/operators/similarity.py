@@ -151,19 +151,40 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 1,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed ANN: search only within the query's cell (nprobe=1).
-    Turns O(Q·N) into O(Q·N/cells) at a recall tradeoff — the scale path
-    (the reference's analogue is the faiss index in cand_gen/eval.py)."""
-    assigned = ivf_assign(emb, n_cells, id_col, vec_col, n_iter=n_iter)
-    q = assigned.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    """IVF-bucketed ANN: each query searches its ``n_probe`` closest
+    cells (faiss's nprobe knob; the reference's analogue is the faiss
+    index in cand_gen/eval.py). Turns O(Q·N) into O(Q·N·n_probe/cells)
+    at a recall tradeoff; ``n_probe = n_cells`` scans every cell and
+    reproduces :func:`cosine_topk_bruteforce` exactly (same rounding
+    and tie rules — pinned by tests/test_dedup_similarity.py).
+
+    ``n_probe=1`` keeps the original single-cell behavior: the query's
+    closest centroid is its own assignment cell, so the oracle-checked
+    output is unchanged."""
+    cents = ivf_centroids(emb, n_cells, n_iter, id_col, vec_col)
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    qv = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qs = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        qs.withColumn("prnk", F.row_number().over(wp))
+        .where(F.col("prnk") <= n_probe)
+        .select("query_id", "qv", "cell")
     )
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     scored = (
-        F.broadcast(q)
+        F.broadcast(probes)
         .join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # no dedup needed: every vector lives in exactly one cell and a
+        # query's probe cells are distinct, so (query, neighbor) pairs
+        # are unique by construction
         .withColumn(
             "cos_sim",
             F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),

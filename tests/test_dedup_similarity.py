@@ -103,3 +103,37 @@ def test_dedup_keep_singletons_and_clusters(spark):
         4: (2, 0),
         5: (1, 0),
     }
+
+
+def _emb_df(spark, n=60, d=8, seed=11):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, d).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], ["vec_id", "embedding"]
+    )
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    # n_probe = n_cells scans every cell: identical result set, scores,
+    # ranks, and tie order as the exact path
+    df = _emb_df(spark)
+    exact = sorted(map(tuple, similarity.cosine_topk_bruteforce(df, n_queries=4, k=5).collect()))
+    ivf = sorted(
+        map(tuple, similarity.ivf_topk(df, n_queries=4, k=5, n_cells=4, n_probe=4).collect())
+    )
+    assert ivf == exact
+
+
+def test_ivf_recall_improves_with_probes(spark):
+    df = _emb_df(spark)
+    exact = similarity.cosine_topk_bruteforce(df, n_queries=6, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    def recall(n_probe):
+        got = similarity.ivf_topk(df, n_queries=6, k=5, n_cells=4, n_probe=n_probe).collect()
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got} & truth
+        return len(hits) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # more probes never hurt
+    assert r2 >= 0.5  # and reach useful recall on this fixture
