@@ -127,6 +127,7 @@ def ngram_extract_aliases(
     min_alias_len: int = 1,
     max_alias_len: int = 6,
     dict_max_words: int | None = None,
+    _generic_only: bool = False,
 ) -> list[tuple[str, int, int]]:
     """Pure-Python n-gram mention extractor.
 
@@ -143,9 +144,14 @@ def ngram_extract_aliases(
     combining marks) disables the skip for the whole row. ≈halves
     extractor time on clean web text with a short dictionary; output
     provably unchanged (tests/test_mentions.py pins the punctuated case).
+
+    ``_generic_only`` (tests only) disables every fast path — the clean
+    tokenizer, the dead-pass skip, and the specialized unigram pass — so
+    differential tests (tests/test_mentions.py hypothesis fuzz) can pin
+    the optimized paths against the one generic loop.
     """
-    skip_safe = _SKIP_SAFE_RE.match(text) is not None
-    toks = tokenize_with_offsets(text, clean=skip_safe)
+    skip_safe = (not _generic_only) and _SKIP_SAFE_RE.match(text) is not None
+    toks = tokenize_with_offsets(text, clean=False if _generic_only else skip_safe)
     if not toks:
         return []
     keep = [_pos_keep(t) for t, _ in toks]
@@ -154,7 +160,7 @@ def ngram_extract_aliases(
     for n in range(min(max_alias_len, n_toks), min_alias_len - 1, -1):
         if dict_max_words is not None and n > dict_max_words and skip_safe:
             continue
-        if n == 1:
+        if n == 1 and not _generic_only:
             # specialized single-token pass (the hot pass on web text):
             # every generic filter below is subsumed by _pos_keep for a
             # 1-gram — keep=True already excludes stopwords, punctuation,

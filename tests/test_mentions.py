@@ -166,3 +166,42 @@ def test_relational_extractor_equals_python(spark):
     a = {tuple(r) for r in py.select(*cols).collect()}
     b = {tuple(r) for r in rel.select(*cols).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: every fast path (clean tokenizer, dead-pass skip,
+# specialized unigram pass) must be output-identical to the one generic
+# loop. The round-2 high-severity bug (lnrm-collapsed grams escaping the
+# dead-pass skip on punctuated text) is exactly the class this pins.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FUZZ_VOCAB = [
+    "spark", "data", "Foo", "Bar's", "the", "and", "of", "42", "&", "x,y",
+    "café", "naïve", "--", "it's", "O'Neil", "a.b", "HELLO", "(spark)",
+    "foo", "bar", "s", "'s", ".", "word's", "préfix", "",
+]
+_FUZZ_ALIASES = frozenset(
+    {"spark", "data", "foo", "foo bar", "oneil", "cafe", "x y", "hello",
+     "word", "spark data", "a b", "naive", "prefix", "42 foo"}
+)
+
+_texts = st.lists(st.sampled_from(_FUZZ_VOCAB), min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts)
+def test_fast_paths_match_generic_extractor(text):
+    fast = ngram_extract_aliases(text, _FUZZ_ALIASES, dict_max_words=2)
+    generic = ngram_extract_aliases(text, _FUZZ_ALIASES, _generic_only=True)
+    assert fast == generic, text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(["spark", "Data", "42", "x", "HELLO", ""]),
+                min_size=0, max_size=10).map(" ".join))
+def test_clean_tokenizer_matches_finditer(text):
+    # precondition of the clean fast path: pure alnum+space
+    assert tokenize_with_offsets(text, clean=True) == tokenize_with_offsets(text, clean=False)
