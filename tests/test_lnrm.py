@@ -37,3 +37,21 @@ def test_ascii_col_matches_python(spark):
     df = spark.createDataFrame([(s,) for s in samples], ["s"])
     got = [r["n"] for r in df.select(lnrm_ascii_col(df.s).alias("n")).collect()]
     assert got == [lnrm(s) for s in samples]
+
+
+def test_ascii_col_matches_python_fuzz(spark):
+    # single Spark job over 500 seeded printable-ASCII strings: the JVM
+    # expression and the Python reference must agree byte-for-byte on
+    # the ASCII domain the fast path claims
+    import random
+    import string
+
+    rng = random.Random(1234)
+    chars = string.ascii_letters + string.digits + string.punctuation + "  "
+    samples = [
+        "".join(rng.choice(chars) for _ in range(rng.randint(0, 30))) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+    got = {r["i"]: r["n"] for r in df.select("i", lnrm_ascii_col(df.s).alias("n")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == lnrm(s), repr(s)
