@@ -137,6 +137,51 @@ def doc_fingerprints(
     return sh.groupBy("id").agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    w: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): the distinct minima of every ``w``-wide sliding window
+    over the doc's ordered shingle-hash sequence — the rolling-hash
+    fingerprint set plagiarism/near-dup systems index, guaranteeing any
+    shared run of ``w + shingle_n - 1`` words contributes a common
+    fingerprint.
+
+    Returns distinct ``(id, fp)``. Docs with fewer than ``w`` shingles
+    fall back to one whole-doc window (their global min) so every doc
+    with ≥1 shingle fingerprints. One shuffle (the per-doc window sort);
+    md5 order statistics keep the DuckDB mirror exact.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(shingle_n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, shingle_n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy("id")
+    marked = sh.select(
+        "id",
+        "pos",
+        F.min("h").over(win).alias("fp"),
+        F.count("*").over(whole).alias("n_sh"),
+    )
+    return (
+        marked.where(F.col("pos") <= F.greatest(F.col("n_sh") - w, F.lit(0)))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, top_word_frac, top_2gram_frac): fraction of the document
     occupied by its most frequent word / 2-gram — the Gopher-style

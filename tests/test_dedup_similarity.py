@@ -137,3 +137,25 @@ def test_ivf_recall_improves_with_probes(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1  # more probes never hurt
     assert r2 >= 0.5  # and reach useful recall on this fixture
+
+
+def test_winnowing_guarantee_and_short_doc_fallback(spark):
+    from bootleg_spark.operators import textstats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w + n - 1 (w=4, n=3)
+    docs = _docs(
+        spark,
+        [
+            f"one two {shared} three four",
+            f"nine eight seven {shared} six",
+            "tiny doc here",  # 1 shingle < w -> whole-doc fallback window
+        ],
+    )
+    fps = textstats.winnow_fingerprints(docs, w=4, shingle_n=3).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared run of w+n-1 words yields a common fp
+    assert by_doc[0] & by_doc[1]
+    # short doc still fingerprints (global-min fallback), exactly one fp
+    assert len(by_doc[2]) == 1
