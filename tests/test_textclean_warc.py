@@ -218,3 +218,37 @@ class TestWarc:
         )
         out = list(warc.parse_warc_buffer(rec + rec))
         assert [p for _, _, p in out] == [payload, payload]
+
+
+class TestStreamingCompat:
+    def test_hygiene_ops_run_as_streaming_query(self, spark, tmp_path):
+        """The hygiene projections are stateless narrow plans, so the
+        exact same operator code must run unchanged under Structured
+        Streaming (file source → scrub+canon → parquet sink)."""
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        batch = _df(
+            spark,
+            [(1, "mail a@b.io now", "HTTPS://WWW.Example.org:443/p/?utm_x=1&a=1#f")],
+            "doc_id long, text string, url string",
+        )
+        batch.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string, url string").parquet(src)
+        scrubbed = textclean.scrub_pii(stream).withColumnRenamed("id", "doc_id")
+        canon = textclean.canonical_urls(stream).select(
+            F.col("id").alias("doc_id"), "url_canon"
+        )
+        joined = scrubbed.join(canon, "doc_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        assert rows[0]["clean_text"] == "mail <EMAIL> now"
+        assert rows[0]["url_canon"] == "https://example.org/p?a=1"
