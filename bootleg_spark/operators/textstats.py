@@ -153,33 +153,35 @@ def winnow_fingerprints(
 
     Returns distinct ``(id, fp)``. Docs with fewer than ``w`` shingles
     fall back to one whole-doc window (their global min) so every doc
-    with ≥1 shingle fingerprints. One shuffle (the per-doc window sort);
-    md5 order statistics keep the DuckDB mirror exact.
-    """
-    from pyspark.sql import Window
+    with ≥1 shingle fingerprints.
 
+    Winnowing is strictly per-document, so the whole computation runs
+    INSIDE the row as array expressions (hash array → per-window
+    ``array_min`` → ``array_distinct`` → explode): a pure shuffle-free
+    projection — no per-doc window sort, no exchange of shingle hashes
+    — and md5 order statistics keep the DuckDB mirror exact.
+    """
     words = F.split(F.col(text_col), " ")
-    grams = F.when(
+    hs = F.when(
         F.size(words) >= shingle_n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - F.lit(shingle_n - 1)),
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, shingle_n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h"))
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    whole = Window.partitionBy("id")
-    marked = sh.select(
-        "id",
-        "pos",
-        F.min("h").over(win).alias("fp"),
-        F.count("*").over(whole).alias("n_sh"),
-    )
-    return (
-        marked.where(F.col("pos") <= F.greatest(F.col("n_sh") - w, F.lit(0)))
-        .select("id", "fp")
-        .distinct()
-    )
+    d = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
+    fps = F.when(
+        F.size(F.col("hs")) >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - w, F.lit(0))),
+                lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the hash array first: referencing a transform() inside
+    # another array lambda INLINES it (O(n²)/row re-evaluation)
+    return d.select("id", F.explode(fps).alias("fp"))
 
 
 def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
