@@ -121,20 +121,22 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def doc_fingerprints(
     docs: DataFrame, shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, fp_min, fp_max): winnowing-style rolling fingerprint — the
-    extreme md5 hashes over word shingles (order statistics on hex
-    strings → engine-portable)."""
+    """(id, fp_min, fp_max): the extreme md5 hashes over word shingles
+    (order statistics on hex strings → engine-portable; see
+    :func:`winnow_fingerprints` for the full winnowing fp sets).
+
+    Per-document extrema need no explode/groupBy shuffle: the hash
+    array's min/max compute inside the row — scan → project, zero
+    exchanges."""
     w = docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w"))
-    sh = w.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(w) >= {shingle_n} THEN transform(sequence(0, size(w) - {shingle_n}),"
-                f" i -> md5(concat_ws(' ', slice(w, i + 1, {shingle_n})))) ELSE array() END"
-            )
-        ).alias("h"),
+    hs = F.expr(
+        f"CASE WHEN size(w) >= {shingle_n} THEN transform(sequence(0, size(w) - {shingle_n}),"
+        f" i -> md5(concat_ws(' ', slice(w, i + 1, {shingle_n})))) ELSE array() END"
     )
-    return sh.groupBy("id").agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
+    d = w.select("id", hs.alias("hs"))
+    return d.where(F.size("hs") >= 1).select(
+        "id", F.array_min("hs").alias("fp_min"), F.array_max("hs").alias("fp_max")
+    )
 
 
 def winnow_fingerprints(
