@@ -70,7 +70,9 @@ def add_mention(
     new_row = spark.createDataFrame(
         [(alias, qid, float(score), 0)], "alias string, qid string, score double, rank int"
     ).join(
-        alias_cands.where((F.col("alias") == alias) & (F.col("qid") == qid)),
+        # ≤1-row right side: broadcast, else Catalyst picks a sort-merge
+        # anti-join and shuffles the (statless) literal frame
+        F.broadcast(alias_cands.where((F.col("alias") == alias) & (F.col("qid") == qid))),
         ["alias", "qid"],
         "left_anti",
     )
@@ -150,7 +152,10 @@ def add_relation(
             F.col("pos").cast("long"),
         )
         .join(
-            kg.where(grp & (F.col("obj_qid") == qid2)).select("subj_qid", "rel", "obj_qid"),
+            # ≤1-row right side: broadcast (see add_mention)
+            F.broadcast(
+                kg.where(grp & (F.col("obj_qid") == qid2)).select("subj_qid", "rel", "obj_qid")
+            ),
             ["subj_qid", "rel", "obj_qid"],
             "left_anti",
         )

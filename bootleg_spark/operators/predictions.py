@@ -80,5 +80,10 @@ def prune_to_entities(
     window (a single-task wall at the reference's 5.8 M entities)."""
     from bootleg_spark.operators.ids import dense_ids
 
-    kept = entities.join(keep_qids.select(F.col(qid_col).alias("qid")), "qid", "left_semi")
+    # shuffle_hash: build side (the keep set) is bounded by the entity
+    # dim; skips the two sort passes a SortMergeJoin adds over the full
+    # entity dim (triples.py precedent)
+    kept = entities.join(
+        keep_qids.select(F.col(qid_col).alias("qid")).hint("shuffle_hash"), "qid", "left_semi"
+    )
     return dense_ids(kept, "qnum", id_col="new_eid", start=2)
