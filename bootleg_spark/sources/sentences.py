@@ -1,0 +1,158 @@
+"""Sentence-JSONL ingestion — the reference's actual train/eval input.
+
+The reference reads one JSON object per line with keys
+``sent_idx_unq, sentence, aliases, qids, char_spans, gold`` (plus
+optional word ``spans`` and ``slices``) and validates/expands them into
+per-mention examples inside its multiprocessing prep loop
+(``bootleg/dataset.py:495-545``). This module is the relational
+re-expression: explicit-schema ``spark.read.json`` with corrupt-line
+capture, a validation frame mirroring the reference's asserts, and a
+``posexplode`` expansion to per-mention rows.
+
+Scale notes: the read is a plain distributed JSONL scan (one task per
+file split — the reference's file-chunker/pool is Spark's input
+partitioning); validation and expansion are pure projections/explodes,
+shuffle-free; downstream joins (candidate attach, scoring) reuse the
+existing operators unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SENTENCES_SCHEMA = StructType(
+    [
+        StructField("sent_idx_unq", LongType()),
+        StructField("sentence", StringType()),
+        StructField("aliases", ArrayType(StringType())),
+        StructField("qids", ArrayType(StringType())),
+        StructField("char_spans", ArrayType(ArrayType(LongType()))),
+        StructField("spans", ArrayType(ArrayType(LongType()))),  # word spans, optional
+        StructField("gold", ArrayType(BooleanType())),
+        StructField("slices", MapType(StringType(), MapType(StringType(), DoubleType()))),
+        StructField("_corrupt", StringType()),
+    ]
+)
+
+
+def read_sentences_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Explicit-schema JSONL read; malformed lines land in ``_corrupt``
+    for :func:`validate_sentences` instead of failing the read.
+
+    Reads via ``text`` + ``from_json`` (the profile reader's shape,
+    profile.py:109-144) rather than a raw ``.json()`` scan: Spark
+    forbids queries that prune a raw JSON scan down to only the
+    internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    which is exactly what a validation query does."""
+    raw = spark.read.text(path)
+    j = raw.select(
+        F.from_json(
+            "value",
+            SENTENCES_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+        "value",
+    )
+    cols = [f.name for f in SENTENCES_SCHEMA.fields if f.name != "_corrupt"]
+    return j.select(
+        *[F.col(f"j.{c}").alias(c) for c in cols],
+        F.when(F.col("j").isNull() | F.col("j._corrupt").isNotNull(), F.col("value")).alias(
+            "_corrupt"
+        ),
+    )
+
+
+def validate_sentences(sents: DataFrame) -> DataFrame:
+    """(sent_idx_unq, error) rows for every violation the reference
+    asserts on (dataset.py:503-535): malformed JSON, missing required
+    keys, alias/qid/span/gold length mismatches, spans that are not
+    [start, end) pairs or run past the sentence."""
+    corrupt = sents.where(F.col("_corrupt").isNotNull()).select(
+        "sent_idx_unq", F.lit("malformed json line").alias("error")
+    )
+    ok = sents.where(F.col("_corrupt").isNull())
+    missing = ok.where(
+        F.col("sent_idx_unq").isNull()
+        | F.col("sentence").isNull()
+        | F.col("aliases").isNull()
+        | F.col("qids").isNull()
+        | F.col("char_spans").isNull()
+        | F.col("gold").isNull()
+    ).select(
+        "sent_idx_unq",
+        F.lit("missing required key (sent_idx_unq/sentence/aliases/qids/char_spans/gold)").alias(
+            "error"
+        ),
+    )
+    lens = ok.where(
+        (F.size("aliases") != F.size("qids"))
+        | (F.size("aliases") != F.size("char_spans"))
+        | (F.size("aliases") != F.size("gold"))
+    ).select(
+        "sent_idx_unq", F.lit("lengths of alias-related values not equal").alias("error")
+    )
+    bad_span = ok.where(
+        F.exists(
+            "char_spans",
+            lambda s: (F.size(s) != 2)
+            | (s[1] > F.length("sentence"))
+            | (s[0] < 0)
+            | (s[0] > s[1]),
+        )
+    ).select("sent_idx_unq", F.lit("span not a valid [start, end) within sentence").alias("error"))
+    return corrupt.unionByName(missing).unionByName(lens).unionByName(bad_span)
+
+
+def assert_valid_sentences(sents: DataFrame, max_show: int = 5) -> None:
+    bad = validate_sentences(sents).take(max_show)
+    if bad:
+        raise ValueError(f"invalid sentence lines: {bad}")
+
+
+def sentences_to_mentions(sents: DataFrame, use_weak_label: bool = True) -> DataFrame:
+    """Per-mention rows (sent_idx, alias_idx, alias, qid, char_start,
+    char_end, gold) — dataset.py:513-545 semantics: aliases lowercased
+    (candidate maps are lower-cased), ``use_weak_label=False`` keeps
+    only gold (anchor) mentions, zero-mention sentences drop out (the
+    explode does this for free)."""
+    z = F.arrays_zip(
+        F.transform("aliases", F.lower).alias("alias"),
+        F.col("qids").alias("qid"),
+        F.col("char_spans").alias("span"),
+        F.col("gold").alias("g"),
+    )
+    rows = sents.where(F.col("_corrupt").isNull()).select(
+        F.col("sent_idx_unq").alias("sent_idx"),
+        F.posexplode(z).alias("alias_idx", "m"),
+    )
+    out = rows.select(
+        "sent_idx",
+        F.col("alias_idx").cast("long"),
+        F.col("m.alias").alias("alias"),
+        F.col("m.qid").alias("qid"),
+        F.col("m.span")[0].alias("char_start"),
+        F.col("m.span")[1].alias("char_end"),
+        F.col("m.g").alias("gold"),
+    )
+    if not use_weak_label:
+        # reference re-indexes after dropping weak mentions (the kept
+        # aliases become 0..k-1); mirror with a per-sentence rank
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sent_idx").orderBy("alias_idx")
+        out = (
+            out.where(F.col("gold"))
+            .withColumn("alias_idx", (F.row_number().over(w) - 1).cast("long"))
+        )
+    return out
