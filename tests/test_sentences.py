@@ -61,3 +61,47 @@ def test_weak_label_filter_reindexes(spark):
     assert weak[0]["alias"] == "x"  # lowercased
     strict = sentences.sentences_to_mentions(df, use_weak_label=False).orderBy("alias_idx").collect()
     assert [(r["alias_idx"], r["qid"]) for r in strict] == [(0, "Q1"), (1, "Q3")]
+
+
+def test_user_journey_profile_plus_sentences_jsonl(spark, tmp_path):
+    """The complete reference-user path with the reference's own public
+    file formats: an entity-profile JSONL (EntityProfile.load_from_jsonl
+    interchange) plus the end2end sentence JSONL fixture in, per-mention
+    linked predictions out — no reference code, all relational."""
+    import json
+
+    from bootleg_spark.operators.candidates import attach_candidates
+    from bootleg_spark.operators.linking import link_popularity
+    from bootleg_spark.sources.profile import (
+        assert_valid_profile,
+        profile_alias_candidates,
+        profile_entities,
+        read_profile_jsonl,
+    )
+
+    profile = [
+        {"entity_id": "Q1", "title": "One", "mentions": [["alias1", 10.0], ["word alias3", 8.0]]},
+        {"entity_id": "Q2", "title": "Two", "mentions": [["multi word alias2", 3.0]]},
+        {"entity_id": "Q3", "title": "Three", "mentions": [["word alias3", 9.0]]},
+        {"entity_id": "Q4", "title": "Four", "mentions": [["multi word alias2", 8.0], ["alias1", 2.0]]},
+    ]
+    prof_path = str(tmp_path / "profile.jsonl")
+    with open(prof_path, "w") as f:
+        for line in profile:
+            f.write(json.dumps(line) + "\n")
+
+    prof = read_profile_jsonl(spark, prof_path)
+    assert_valid_profile(prof)
+    alias_cands = profile_alias_candidates(prof).join(
+        profile_entities(prof).select("qid", "eid"), "qid"
+    )
+    mentions = sentences.sentences_to_mentions(
+        sentences.read_sentences_jsonl(spark, REF_JSONL)
+    )
+    linked = link_popularity(attach_candidates(mentions, alias_cands))
+    got = {
+        (r["alias"], r["qid_pred"])
+        for r in linked.where(F.col("sent_idx") == 0).collect()
+    }
+    # popularity scorer picks each alias's top-scored profile candidate
+    assert got == {("alias1", "Q1"), ("multi word alias2", "Q4")}
