@@ -150,8 +150,10 @@ def ngram_extract_aliases(
     differential tests (tests/test_mentions.py hypothesis fuzz) can pin
     the optimized paths against the one generic loop.
     """
+    # _generic_only forces skip_safe False, which also routes
+    # tokenize_with_offsets down its generic finditer path
     skip_safe = (not _generic_only) and _SKIP_SAFE_RE.match(text) is not None
-    toks = tokenize_with_offsets(text, clean=False if _generic_only else skip_safe)
+    toks = tokenize_with_offsets(text, clean=skip_safe)
     if not toks:
         return []
     keep = [_pos_keep(t) for t, _ in toks]

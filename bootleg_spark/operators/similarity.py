@@ -77,17 +77,21 @@ def signbit_bucket(vec_col, bits: int = 8):
 
 
 def _assign_to_centroids(
-    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str, top_n: int = 1
 ) -> DataFrame:
-    """cell = argmax rounded-cosine to a broadcast centroid, ties by
-    lowest centroid id. One scan of the big side, per-id window."""
+    """The ``top_n`` closest cells per id by rounded cosine to the
+    broadcast centroids, ties by lowest centroid id. ``top_n=1`` is cell
+    assignment; ``top_n>1`` is a query's probe set — one definition so
+    the assignment and probe tie rules can never diverge (ivf_topk's
+    full-probe ≡ brute-force claim depends on that). One scan of the
+    big side, per-id window."""
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
+        .where(F.col("rnk") <= top_n)
         .select(F.col(id_col), F.col(vec_col), F.col("cell"))
     )
 
@@ -168,15 +172,7 @@ def ivf_topk(
     qv = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qs = qv.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
-    probes = (
-        qs.withColumn("prnk", F.row_number().over(wp))
-        .where(F.col("prnk") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
+    probes = _assign_to_centroids(qv, cents, "query_id", "qv", top_n=n_probe)
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     scored = (
         F.broadcast(probes)

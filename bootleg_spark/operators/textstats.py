@@ -163,7 +163,12 @@ def winnow_fingerprints(
     projection — no per-doc window sort, no exchange of shingle hashes
     — and md5 order statistics keep the DuckDB mirror exact.
     """
-    words = F.split(F.col(text_col), " ")
+    # materialize the words array BEFORE the shingle lambda references
+    # it: a split() inlined into the transform re-evaluates per element
+    # (HOFs get no common-subexpression elimination) — O(words²)/row,
+    # measured 11× slower
+    w0 = docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w"))
+    words = F.col("w")
     hs = F.when(
         F.size(words) >= shingle_n,
         F.transform(
@@ -171,7 +176,7 @@ def winnow_fingerprints(
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, shingle_n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
+    d = w0.select("id", hs.alias("hs"))
     fps = F.when(
         F.size(F.col("hs")) >= 1,
         F.array_distinct(

@@ -100,10 +100,9 @@ def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
     description=''); malformed JSON lines land in ``_corrupt`` for
     :func:`validate_profile` instead of failing the whole read.
     """
-    df = spark.read.schema(PROFILE_SCHEMA).option(
-        "columnNameOfCorruptRecord", "_corrupt"
-    ).json(path)
-    return _apply_profile_defaults(df)
+    from bootleg_spark.sources.jsonl import read_jsonl_with_corrupt
+
+    return _apply_profile_defaults(read_jsonl_with_corrupt(spark, path, PROFILE_SCHEMA))
 
 
 def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
@@ -115,33 +114,13 @@ def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     same O(#partitions) driver traffic as dense_ids' phase 2); indices
     follow the text-source split order (file, then byte offset), which
     is the order a sequential reader sees."""
+    from bootleg_spark.sources.jsonl import parse_json_lines
+
     lines = spark.sparkContext.textFile(path).zipWithIndex()
     raw = spark.createDataFrame(lines, "value string, _line_no long")
-    parsed = raw.select(
-        F.from_json(
-            "value",
-            PROFILE_SCHEMA,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("j"),
-        "value",
-        "_line_no",
+    return _apply_profile_defaults(
+        parse_json_lines(raw, PROFILE_SCHEMA, keep_cols=("_line_no",)), "_line_no"
     )
-    # from_json leaves the corrupt slot null for unparseable lines on
-    # some parser paths — normalize: a null struct means corrupt. The
-    # default-coalescing projection is shared with read_profile_jsonl.
-    flat = parsed.select(
-        F.col("j.entity_id").alias("entity_id"),
-        F.col("j.mentions").alias("mentions"),
-        F.col("j.title").alias("title"),
-        F.col("j.description").alias("description"),
-        F.col("j.types").alias("types"),
-        F.col("j.relations").alias("relations"),
-        F.when(F.col("j").isNull() | F.col("j._corrupt").isNotNull(), F.col("value")).alias(
-            "_corrupt"
-        ),
-        "_line_no",
-    )
-    return _apply_profile_defaults(flat, "_line_no")
 
 
 def validate_profile(profile: DataFrame) -> DataFrame:

@@ -50,27 +50,11 @@ def read_sentences_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Explicit-schema JSONL read; malformed lines land in ``_corrupt``
     for :func:`validate_sentences` instead of failing the read.
 
-    Reads via ``text`` + ``from_json`` (the profile reader's shape,
-    profile.py:109-144) rather than a raw ``.json()`` scan: Spark
-    forbids queries that prune a raw JSON scan down to only the
-    internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
-    which is exactly what a validation query does."""
-    raw = spark.read.text(path)
-    j = raw.select(
-        F.from_json(
-            "value",
-            SENTENCES_SCHEMA,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("j"),
-        "value",
-    )
-    cols = [f.name for f in SENTENCES_SCHEMA.fields if f.name != "_corrupt"]
-    return j.select(
-        *[F.col(f"j.{c}").alias(c) for c in cols],
-        F.when(F.col("j").isNull() | F.col("j._corrupt").isNotNull(), F.col("value")).alias(
-            "_corrupt"
-        ),
-    )
+    Shares :mod:`bootleg_spark.sources.jsonl`'s corrupt-capture parse
+    (see that module for why a raw ``.json()`` scan won't do)."""
+    from bootleg_spark.sources.jsonl import read_jsonl_with_corrupt
+
+    return read_jsonl_with_corrupt(spark, path, SENTENCES_SCHEMA)
 
 
 def validate_sentences(sents: DataFrame) -> DataFrame:
@@ -102,16 +86,29 @@ def validate_sentences(sents: DataFrame) -> DataFrame:
     ).select(
         "sent_idx_unq", F.lit("lengths of alias-related values not equal").alias("error")
     )
+    null_elem = ok.where(
+        F.exists("aliases", lambda a: a.isNull())
+        | F.exists("qids", lambda q: q.isNull())
+        | F.exists("gold", lambda g: g.isNull())
+        | F.exists("char_spans", lambda s: s.isNull())
+    ).select("sent_idx_unq", F.lit("null element in alias-related arrays").alias("error"))
     bad_span = ok.where(
         F.exists(
             "char_spans",
-            lambda s: (F.size(s) != 2)
-            | (s[1] > F.length("sentence"))
-            | (s[0] < 0)
-            | (s[0] > s[1]),
+            # coalesce(..., True): a null piece inside a span (e.g.
+            # [null, 5]) nulls the predicate, and under null semantics a
+            # null filter DROPS the row — the exact opposite of flagging
+            # it; treat unknowable as invalid
+            lambda s: F.coalesce(
+                (F.size(s) != 2)
+                | (s[1] > F.length("sentence"))
+                | (s[0] < 0)
+                | (s[0] > s[1]),
+                F.lit(True),
+            ),
         )
     ).select("sent_idx_unq", F.lit("span not a valid [start, end) within sentence").alias("error"))
-    return corrupt.unionByName(missing).unionByName(lens).unionByName(bad_span)
+    return corrupt.unionByName(missing).unionByName(lens).unionByName(null_elem).unionByName(bad_span)
 
 
 def assert_valid_sentences(sents: DataFrame, max_show: int = 5) -> None:

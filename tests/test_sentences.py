@@ -32,13 +32,22 @@ def test_corrupt_and_invalid_lines_flagged(spark, tmp_path):
                 '"qids": ["Q1"], "char_spans": [[0, 99]], "gold": [true]}\n')  # span past end
         f.write('{"sent_idx_unq": 4, "sentence": "ok go", "aliases": ["ok"], '
                 '"qids": ["Q1"], "char_spans": [[0, 2]], "gold": [true]}\n')  # valid
+        # null elements must be flagged, not silently dropped by
+        # null-propagating predicates
+        f.write('{"sent_idx_unq": 5, "sentence": "a b", "aliases": ["a"], '
+                '"qids": ["Q1"], "char_spans": [null], "gold": [true]}\n')
+        f.write('{"sent_idx_unq": 6, "sentence": "a b", "aliases": ["a"], '
+                '"qids": ["Q1"], "char_spans": [[null, 2]], "gold": [true]}\n')
     df = sentences.read_sentences_jsonl(spark, p)
     errs = {r["error"] for r in sentences.validate_sentences(df).collect()}
     assert errs == {
         "malformed json line",
         "lengths of alias-related values not equal",
         "span not a valid [start, end) within sentence",
+        "null element in alias-related arrays",
     }
+    flagged = {r["sent_idx_unq"] for r in sentences.validate_sentences(df).collect()}
+    assert {5, 6} <= flagged
 
 
 def test_weak_label_filter_reindexes(spark):
