@@ -61,8 +61,11 @@ _RE_TOKEN = re.compile(r"\S+")
 # texts where every token lnrms to itself (lowercased): only ASCII
 # alnum + single spaces — the precondition for the dead-pass skip in
 # ngram_extract_aliases (any punctuation/unicode can shrink a gram's
-# lnrm word count, e.g. 'Foo & Bar' -> 'foo bar')
-_SKIP_SAFE_RE = re.compile(r"^[A-Za-z0-9 ]*$")
+# lnrm word count, e.g. 'Foo & Bar' -> 'foo bar'). Checked with
+# fullmatch, NOT match+'$': '$' matches before a trailing newline, so
+# 'the spark\n' would wrongly take the clean path and drop the final
+# mention ('spark\n'.lower() never keys the dict).
+_SKIP_SAFE_RE = re.compile(r"[A-Za-z0-9 ]*")
 
 
 def tokenize_with_offsets(text: str, clean: bool | None = None) -> list[tuple[str, int]]:
@@ -79,7 +82,7 @@ def tokenize_with_offsets(text: str, clean: bool | None = None) -> list[tuple[st
     # was ~36% of fused-path Python time on the clean web corpus;
     # str.split + a running offset is ~4× the finditer form)
     if clean is None:
-        clean = _SKIP_SAFE_RE.match(text) is not None
+        clean = _SKIP_SAFE_RE.fullmatch(text) is not None
     if clean:
         out = []
         pos = 0
@@ -152,7 +155,7 @@ def ngram_extract_aliases(
     """
     # _generic_only forces skip_safe False, which also routes
     # tokenize_with_offsets down its generic finditer path
-    skip_safe = (not _generic_only) and _SKIP_SAFE_RE.match(text) is not None
+    skip_safe = (not _generic_only) and _SKIP_SAFE_RE.fullmatch(text) is not None
     toks = tokenize_with_offsets(text, clean=skip_safe)
     if not toks:
         return []

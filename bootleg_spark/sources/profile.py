@@ -105,18 +105,61 @@ def read_profile_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return _apply_profile_defaults(read_jsonl_with_corrupt(spark, path, PROFILE_SCHEMA))
 
 
+def _enumerate_input_files(sc, path: str) -> list[str]:
+    """Expand ``path`` (file, directory, or glob) into an explicit
+    sorted list of data files via the Hadoop FS API. Hadoop's
+    ``listStatus`` enumeration order is filesystem-dependent (NOT
+    guaranteed sorted), so anything that assigns meaning to cross-file
+    order must pin the order itself (round-3 advice)."""
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    if statuses is None or len(statuses) == 0:
+        raise FileNotFoundError(path)
+    out = []
+    for st in statuses:
+        if st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                name = child.getPath().getName()
+                if child.isFile() and not name.startswith(("_", ".")):
+                    out.append(str(child.getPath()))
+        else:
+            out.append(str(st.getPath()))
+    return sorted(out)
+
+
 def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     """:func:`read_profile_jsonl` plus a ``_line_no`` column carrying the
     file insertion order, for exact eid parity with the reference's
     enumeration (entity_symbols.py:43-47 numbers eids in file order).
 
-    ``zipWithIndex`` runs one extra count job over the partitions (the
-    same O(#partitions) driver traffic as dense_ids' phase 2); indices
-    follow the text-source split order (file, then byte offset), which
-    is the order a sequential reader sees."""
+    Files matching ``path`` are enumerated explicitly in sorted-path
+    order and numbered per file with a cumulative rank offset, so a
+    multi-file profile gets the same ``_line_no`` sequence a sequential
+    reader concatenating the sorted files would produce — a bare
+    ``textFile(glob)`` would inherit Hadoop's unguaranteed listStatus
+    order (round-3 advice). ``zipWithIndex`` runs one count job per
+    file plus one for the offsets — O(#files) extra driver round-trips,
+    fine for a one-time dim load."""
     from bootleg_spark.sources.jsonl import parse_json_lines
 
-    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    sc = spark.sparkContext
+    files = _enumerate_input_files(sc, path)
+    if len(files) == 1:
+        lines = sc.textFile(files[0]).zipWithIndex()
+    else:
+        indexed = [sc.textFile(f).zipWithIndex() for f in files]
+        offsets = []
+        total = 0
+        for rdd in indexed:
+            offsets.append(total)
+            total += rdd.count()
+        lines = sc.union(
+            [
+                rdd.map(lambda kv, off=off: (kv[0], kv[1] + off))
+                for rdd, off in zip(indexed, offsets)
+            ]
+        )
     raw = spark.createDataFrame(lines, "value string, _line_no long")
     return _apply_profile_defaults(
         parse_json_lines(raw, PROFILE_SCHEMA, keep_cols=("_line_no",)), "_line_no"

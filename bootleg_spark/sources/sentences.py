@@ -122,14 +122,33 @@ def sentences_to_mentions(sents: DataFrame, use_weak_label: bool = True) -> Data
     char_end, gold) — dataset.py:513-545 semantics: aliases lowercased
     (candidate maps are lower-cased), ``use_weak_label=False`` keeps
     only gold (anchor) mentions, zero-mention sentences drop out (the
-    explode does this for free)."""
+    explode does this for free).
+
+    Rows that would fail :func:`validate_sentences`'s required-key or
+    length checks are excluded here too (round-3 advice): ``arrays_zip``
+    null-pads ragged arrays, so without this guard an unvalidated input
+    whose ``qids`` is shorter than ``aliases`` would silently emit
+    mention rows with null qid/span. Callers wanting the reference's
+    fail-loud behavior still run :func:`assert_valid_sentences` first;
+    this guard only ensures skipping it cannot produce phantom rows."""
     z = F.arrays_zip(
         F.transform("aliases", F.lower).alias("alias"),
         F.col("qids").alias("qid"),
         F.col("char_spans").alias("span"),
         F.col("gold").alias("g"),
     )
-    rows = sents.where(F.col("_corrupt").isNull()).select(
+    valid = (
+        F.col("_corrupt").isNull()
+        & F.col("sent_idx_unq").isNotNull()
+        & F.col("aliases").isNotNull()
+        & F.col("qids").isNotNull()
+        & F.col("char_spans").isNotNull()
+        & F.col("gold").isNotNull()
+        & (F.size("aliases") == F.size("qids"))
+        & (F.size("aliases") == F.size("char_spans"))
+        & (F.size("aliases") == F.size("gold"))
+    )
+    rows = sents.where(valid).select(
         F.col("sent_idx_unq").alias("sent_idx"),
         F.posexplode(z).alias("alias_idx", "m"),
     )

@@ -34,7 +34,13 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
@@ -99,27 +105,46 @@ def pages_to_warc(
     )
 
 
-def _gunzip_members(b: bytes) -> bytes:
+_GZIP_MAGIC = b"\x1f\x8b\x08"
+
+
+def _gunzip_members(b: bytes) -> tuple[bytes, int]:
     """Decompress a (possibly multi-member) gzip stream — Common Crawl
     gzips each record as its own member, so loop until input exhausts.
-    A malformed member (corrupt tail bytes in a crawl segment) ends the
-    scan with whatever decoded so far rather than raising — same
-    truncation contract as the record parser; losing the good records
-    of a 1 GB segment to a few trailing garbage bytes is the worse
-    failure mode."""
+
+    Returns ``(decoded, dropped_members)``. A malformed member (corrupt
+    bytes mid-segment) is skipped by resyncing at the next gzip magic
+    instead of ending the scan — a single bad member must not silently
+    drop the rest of a ~1 GB crawl segment (round-3 advice: the old
+    break-on-error form lost everything *after* the corrupt point, not
+    just the tail the docstring described, with no signal). The dropped
+    count makes the loss observable; :func:`warc_ingest_diagnostics`
+    surfaces it per buffer."""
     out = []
+    dropped = 0
     while b:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         try:
             out.append(d.decompress(b))
             out.append(d.flush())
         except zlib.error:
-            break
+            # corrupt member: resync at the next gzip magic past this
+            # position (strictly advancing, so the loop terminates; a
+            # false magic inside compressed garbage just fails again
+            # and resyncs further along)
+            dropped += 1
+            nxt = b.find(_GZIP_MAGIC, 1)
+            if nxt < 0:
+                break
+            b = b[nxt:]
+            continue
         b = d.unused_data
-    return b"".join(out)
+    return b"".join(out), dropped
 
 
-def parse_warc_buffer(b: bytes) -> Iterator[tuple[str, str, bytes]]:
+def parse_warc_buffer(
+    b: bytes, stats: dict | None = None
+) -> Iterator[tuple[str, str, bytes]]:
     """Yield (target_uri, warc_date, payload) for each response record.
 
     Plain single-process parser (also the Spark UDF's inner loop):
@@ -128,9 +153,17 @@ def parse_warc_buffer(b: bytes) -> Iterator[tuple[str, str, bytes]]:
     (warcinfo, request, metadata) are parsed and skipped. Malformed
     trailing bytes end the scan rather than raising — a truncated tail
     record is a fact of life in crawl data.
+
+    ``stats`` (optional dict) receives per-buffer loss counters so the
+    truncation contract is observable, not silent:
+    ``dropped_gzip_members`` (corrupt members resynced past),
+    ``truncated_tail`` (1 if the record scan ended before the buffer
+    did), ``leftover_bytes`` (unparsed bytes at the break point).
     """
     if b[:2] == b"\x1f\x8b":
-        b = _gunzip_members(b)
+        b, dropped = _gunzip_members(b)
+        if stats is not None:
+            stats["dropped_gzip_members"] = stats.get("dropped_gzip_members", 0) + dropped
     i = 0
     n = len(b)
     while i < n:
@@ -155,6 +188,9 @@ def parse_warc_buffer(b: bytes) -> Iterator[tuple[str, str, bytes]]:
         if hdr.get("warc-type") == "response":
             yield hdr.get("warc-target-uri", ""), hdr.get("warc-date", ""), payload
         i = j + 4 + clen + 4  # skip the record terminator CRLFCRLF
+    if stats is not None and i < n:
+        stats["truncated_tail"] = stats.get("truncated_tail", 0) + 1
+        stats["leftover_bytes"] = stats.get("leftover_bytes", 0) + (n - i)
 
 
 def parse_warc(df: DataFrame, content_col: str = "warc") -> DataFrame:
@@ -175,3 +211,122 @@ def parse_warc(df: DataFrame, content_col: str = "warc") -> DataFrame:
             )
 
     return df.select(content_col).mapInPandas(_parse, PARSED_SCHEMA)
+
+
+DIAG_SCHEMA = StructType(
+    [
+        StructField("n_records", LongType()),
+        StructField("dropped_gzip_members", LongType()),
+        StructField("truncated_tail", LongType()),
+        StructField("leftover_bytes", LongType()),
+    ]
+)
+
+
+def warc_ingest_diagnostics(df: DataFrame, content_col: str = "warc") -> DataFrame:
+    """One row per input buffer: parse/decompress loss counters.
+
+    Run this alongside :func:`parse_warc` over a crawl segment batch to
+    make silent data loss observable — ``dropped_gzip_members > 0`` or
+    ``truncated_tail > 0`` means records were skipped (corrupt gzip
+    member resynced past, or a mid-buffer framing break). At cluster
+    scale, aggregate it into the job's lineage manifest next to the
+    throughput metrics (SURVEY §2.10)."""
+
+    def _diag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[content_col]:
+                stats: dict = {}
+                n_rec = sum(1 for _ in parse_warc_buffer(bytes(buf), stats))
+                rows.append(
+                    (
+                        n_rec,
+                        stats.get("dropped_gzip_members", 0),
+                        stats.get("truncated_tail", 0),
+                        stats.get("leftover_bytes", 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "n_records",
+                    "dropped_gzip_members",
+                    "truncated_tail",
+                    "leftover_bytes",
+                ],
+            )
+
+    return df.select(content_col).mapInPandas(_diag, DIAG_SCHEMA)
+
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def write_warc_files(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Production sink: one ``.warc.gz`` file per partition, each record
+    its own gzip member (Common Crawl's layout — seekable per record).
+
+    Record bytes are built JVM-side (:func:`warc_record_bytes`); the
+    ``mapInPandas`` pass only gzips and appends, streaming one Arrow
+    batch at a time — no partition-sized buffer in Python memory.
+    Returns the manifest (path, n_records, n_bytes), one row per file;
+    the action that consumes the manifest drives the write. ``mtime=0``
+    in each member keeps output byte-deterministic for a given
+    partitioning. Size partitions upstream (``repartition(n)`` or
+    ``maxPartitionBytes``) so each file lands near the ~1 GB segment
+    size crawl tooling expects; read back with
+    :func:`read_warc_files` — file granularity then drives ingest
+    parallelism exactly as with real Common Crawl segments."""
+    import gzip
+    import os
+    import uuid
+
+    from pyspark import TaskContext
+
+    rec = pages.select(
+        warc_record_bytes(F.col(url_col), F.col(ts_col), F.col(payload_col)).alias("rec")
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
+        n_rec = 0
+        n_bytes = 0
+        fh = None
+        for pdf in batches:
+            if len(pdf) and fh is None:
+                os.makedirs(out_dir, exist_ok=True)
+                fh = open(path, "wb")
+            for buf in pdf["rec"]:
+                member = gzip.compress(bytes(buf), mtime=0)
+                fh.write(member)
+                n_rec += 1
+                n_bytes += len(member)
+        if fh is None:
+            yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
+            return
+        fh.close()
+        yield pd.DataFrame({"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]})
+
+    return rec.mapInPandas(_write, MANIFEST_SCHEMA)
+
+
+def read_warc_files(spark, path_glob: str) -> DataFrame:
+    """Ingest ``.warc.gz`` files via ``binaryFile`` (one row per file —
+    the exact buffer shape :func:`parse_warc` consumes; file granularity
+    drives parallelism, one ~1 GB segment per task on a crawl)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    return parse_warc(files, content_col="content")

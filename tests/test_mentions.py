@@ -82,6 +82,23 @@ def test_dead_pass_skip_is_output_preserving():
     )
 
 
+def test_trailing_newline_disables_clean_fast_path():
+    """Regression (round-3 advice, high): ``$`` matches *before* a
+    trailing newline, so ``re.match(_SKIP_SAFE_RE, 'the spark\\n')``
+    wrongly classified the text as clean — the last token kept its
+    '\\n', the alias lookup used tok.lower() instead of lnrm, and the
+    final-word mention was silently dropped. Fixed with fullmatch."""
+    aliases = frozenset({"spark"})
+    assert ngram_extract_aliases("the spark\n", aliases, dict_max_words=1) == [
+        ("spark", 4, 9)
+    ]
+    assert ngram_extract_aliases("the spark\n", aliases, dict_max_words=1) == (
+        ngram_extract_aliases("the spark\n", aliases, _generic_only=True)
+    )
+    # tokenize_with_offsets had the same hole in its internal clean check
+    assert tokenize_with_offsets("a b\n") == tokenize_with_offsets("a b\n", clean=False)
+
+
 def test_punct_boundary_tokens():
     toks = tokenize_with_offsets("hello, (world) ok")
     assert ("hello", 0) in toks and ("," , 5) in toks
@@ -182,6 +199,11 @@ _FUZZ_VOCAB = [
     "spark", "data", "Foo", "Bar's", "the", "and", "of", "42", "&", "x,y",
     "café", "naïve", "--", "it's", "O'Neil", "a.b", "HELLO", "(spark)",
     "foo", "bar", "s", "'s", ".", "word's", "préfix", "",
+    # newline-bearing tokens: the round-3 ADVICE high bug was '$'
+    # matching before a trailing '\n' so 'the spark\n' took the clean
+    # fast path and silently dropped the final mention — the vocab was
+    # joined with spaces so the fuzz never generated '\n'
+    "spark\n", "\n", "foo\nbar", "data\n\n", "\tspark",
 ]
 _FUZZ_ALIASES = frozenset(
     {"spark", "data", "foo", "foo bar", "oneil", "cafe", "x y", "hello",

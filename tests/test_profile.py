@@ -246,6 +246,35 @@ def test_file_order_eids_match_reference_enumeration(spark, tmp_path):
         profile_entities(prof.drop("_line_no"), order="file")
 
 
+def test_ordered_reader_multi_file_sorted_path_order(spark, tmp_path):
+    """Regression (round-3 advice): across a multi-file glob the line
+    numbering must follow sorted file-path order, not Hadoop's
+    filesystem-dependent listStatus order. Files are created in
+    reverse-sorted order to catch any creation-order dependence."""
+    from bootleg_spark.sources.profile import read_profile_jsonl_ordered
+
+    d = tmp_path / "profile_dir"
+    d.mkdir()
+    # created b-first: a sequential reader over sorted paths sees a's
+    # rows (Q20, Q21) before b's (Q10)
+    (d / "part-b.jsonl").write_text(
+        json.dumps({"entity_id": "Q10", "mentions": [["x", 1.0]]}) + "\n"
+    )
+    (d / "part-a.jsonl").write_text(
+        "\n".join(
+            json.dumps({"entity_id": q, "mentions": [["y", 1.0]]})
+            for q in ("Q20", "Q21")
+        )
+        + "\n"
+    )
+    prof = read_profile_jsonl_ordered(spark, str(d))
+    got = {r["entity_id"]: r["_line_no"] for r in prof.collect()}
+    assert got == {"Q20": 0, "Q21": 1, "Q10": 2}
+    # eids (1-based, file order) follow the same concatenation
+    eids = {r["qid"]: r["eid"] for r in profile_entities(prof, order="file").collect()}
+    assert eids == {"Q20": 1, "Q21": 2, "Q10": 3}
+
+
 def test_ordered_reader_matches_default_on_reference_sample(spark):
     """The ordered reader's parsed columns must agree with the default
     reader row-for-row on the reference's full 1,523-line sample; line

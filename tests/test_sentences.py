@@ -50,6 +50,27 @@ def test_corrupt_and_invalid_lines_flagged(spark, tmp_path):
     assert {5, 6} <= flagged
 
 
+def test_unvalidated_ragged_input_emits_no_null_padded_mentions(spark, tmp_path):
+    """Regression (round-3 advice): arrays_zip null-pads ragged arrays,
+    so a length-mismatched line flowing into sentences_to_mentions
+    WITHOUT assert_valid_sentences must be excluded, not expanded into
+    mention rows with null qid/span."""
+    p = str(tmp_path / "ragged.jsonl")
+    with open(p, "w") as f:
+        # qids longer than aliases: would null-pad alias on the 2nd row
+        f.write('{"sent_idx_unq": 1, "sentence": "a b", "aliases": ["a"], '
+                '"qids": ["Q1", "Q2"], "char_spans": [[0, 1]], "gold": [true]}\n')
+        # missing gold entirely
+        f.write('{"sent_idx_unq": 2, "sentence": "c d", "aliases": ["c"], '
+                '"qids": ["Q3"], "char_spans": [[0, 1]]}\n')
+        # valid line: the only one that may survive
+        f.write('{"sent_idx_unq": 3, "sentence": "ok go", "aliases": ["ok"], '
+                '"qids": ["Q4"], "char_spans": [[0, 2]], "gold": [true]}\n')
+    out = sentences.sentences_to_mentions(sentences.read_sentences_jsonl(spark, p)).collect()
+    assert {r["sent_idx"] for r in out} == {3}
+    assert all(r["qid"] is not None and r["char_start"] is not None for r in out)
+
+
 def test_weak_label_filter_reindexes(spark):
     df = spark.createDataFrame(
         [

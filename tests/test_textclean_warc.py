@@ -207,6 +207,62 @@ class TestWarc:
         out = list(warc.parse_warc_buffer(info + resp + truncated))
         assert out == [("u", "d", b"abc")]
 
+    def test_gzip_mid_segment_corrupt_member_resyncs(self):
+        """Regression (round-3 advice): a corrupt member mid-segment
+        must not drop every record AFTER it — the parser resyncs at the
+        next gzip magic and reports the loss via stats."""
+        payload = b"<html>x</html>"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"WARC-Date: d\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+            + b"\r\n\r\n"
+        )
+        good = gzip.compress(rec, mtime=0)
+        corrupt = good[:8] + b"\xff\xff\xff\xff" + good[12:]
+        stats: dict = {}
+        out = list(warc.parse_warc_buffer(good + corrupt + good, stats))
+        # both good members survive; the corrupt one is counted
+        assert len(out) == 2
+        assert stats["dropped_gzip_members"] >= 1
+
+    def test_ingest_diagnostics_frame(self, spark):
+        payload = b"abc"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"WARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+        )
+        clean = gzip.compress(rec, mtime=0) + gzip.compress(rec, mtime=0)
+        lossy = gzip.compress(rec, mtime=0) + b"\x00\x00GARBAGE"
+        df = spark.createDataFrame([(clean,), (lossy,)], "warc binary")
+        rows = {
+            (r["n_records"], r["dropped_gzip_members"])
+            for r in warc.warc_ingest_diagnostics(df).collect()
+        }
+        assert (2, 0) in rows  # clean buffer: 2 records, no loss
+        assert any(n == 1 and d >= 1 for n, d in rows)  # lossy buffer flagged
+
+    def test_file_sink_binaryfile_roundtrip(self, spark, tmp_path):
+        """Production path: per-partition .warc.gz files out, binaryFile
+        ingest back; file granularity drives parallelism."""
+        pages = synth.pages_table(spark, SF_SMOKE).repartition(3)
+        n = pages.count()
+        out_dir = str(tmp_path / "warcs")
+        manifest = warc.write_warc_files(pages, out_dir).collect()
+        paths = [r["path"] for r in manifest if r["n_records"] > 0]
+        assert len(paths) == 3  # one file per non-empty partition
+        assert sum(r["n_records"] for r in manifest) == n
+        back = warc.read_warc_files(spark, out_dir + "/*.warc.gz")
+        # one input split per file → ingest parallelism = file count
+        assert back.rdd.getNumPartitions() >= len(paths)
+        joined = (
+            back.alias("r")
+            .join(pages.alias("p"), F.col("r.target_uri") == F.col("p.url"))
+            .where(F.col("r.payload") == F.col("p.html"))
+        )
+        assert joined.count() == n  # payloads byte-identical through the files
+
     def test_payload_with_crlfcrlf_inside(self):
         # Content-Length framing must win over delimiter scanning
         payload = b"AA\r\n\r\nBB"
