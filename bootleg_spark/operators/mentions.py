@@ -497,15 +497,20 @@ def extract_mentions_ngram_relational(
     alias_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_arr: bool = False,
 ) -> DataFrame:
     """EXACT ngram-extractor semantics as pure JVM expressions, valid
-    on rows the caller guards to be lowercase alnum+space with a
-    single-token alias dictionary: there tokenize_with_offsets ==
-    split(' '), lnrm == identity, and every multi-gram pass is provably
-    dead (no possessives), so the extractor reduces to the relational
-    model the mentions_ngram ORACLE already encodes — a token is a
-    mention iff it is noun-ish (non-stopword, non-numeric), has no
-    noun-ish neighbor, and is in the dictionary.
+    on rows the caller guards to be single-spaced alnum words
+    (``[A-Za-z0-9]+( [A-Za-z0-9]+)*``) with a single-token alias
+    dictionary: there tokenize_with_offsets == split(' '), lnrm ==
+    lower, and every multi-gram pass is provably dead (no
+    possessives), so the extractor reduces to the relational model the
+    mentions_ngram ORACLE already encodes — a token is a mention iff
+    its lowercase form is noun-ish (non-stopword, non-numeric), has no
+    noun-ish neighbor, and is in the dictionary. Mixed case is handled
+    exactly as the Python clean fast path does (``tok.lower()`` for
+    both the noun heuristic and the dict key; spans on the original
+    text).
 
     Whole plan: array lambdas (codegen) to find isolated noun-ish token
     indices, explode ONLY those (≈1% of tokens on web text), one
@@ -513,11 +518,17 @@ def extract_mentions_ngram_relational(
     length. Output schema matches :func:`extract_mentions_ngram`;
     equality with the Python extractor on guarded rows is pinned by
     test_parity + the triples_neural/linked_neural golden oracles.
+
+    ``keep_arr=True`` additionally carries ``_arr`` (the word array)
+    and ``_tok_idx`` (the mention's word index) so the all-JVM scorer
+    (operators/jvm_link.py) can build context windows without
+    re-splitting the text.
     """
     stop = sorted(STOP_WORDS)
 
     def nounish(w):
-        return (~w.isin(*stop)) & (~w.rlike("^[0-9]+$")) & (F.length(w) > 0)
+        lw = F.lower(w)
+        return (~lw.isin(*stop)) & (~lw.rlike("^[0-9]+$")) & (F.length(lw) > 0)
 
     # materialize the flag array as a COLUMN before indexing into it:
     # referencing the transform() expression directly inside the filter
@@ -540,7 +551,7 @@ def extract_mentions_ngram_relational(
     )
     hits = exploded.join(
         F.broadcast(alias_df.select(F.col("alias").alias("_dict_alias"))),
-        F.col("_w") == F.col("_dict_alias"),
+        F.lower(F.col("_w")) == F.col("_dict_alias"),
     )
     char_start = F.when(F.col("_tok_idx") == 0, F.lit(0)).otherwise(
         F.length(F.concat_ws(" ", F.slice(F.col("_arr"), 1, F.col("_tok_idx")))) + 1
@@ -548,6 +559,7 @@ def extract_mentions_ngram_relational(
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy(id_col).orderBy("_tok_idx")
+    extra = ["_arr", "_tok_idx"] if keep_arr else []
     return (
         hits.withColumn("char_start", char_start.cast("int"))
         .withColumn("char_end", (F.col("char_start") + F.length("_w")).cast("int"))
@@ -555,8 +567,9 @@ def extract_mentions_ngram_relational(
         .select(
             *df.columns,
             "mention_pos",
-            F.col("_w").alias("alias"),
+            F.lower(F.col("_w")).alias("alias"),
             "char_start",
             "char_end",
+            *extra,
         )
     )

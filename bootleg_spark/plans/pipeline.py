@@ -71,6 +71,9 @@ class KgPipeline:
         self.sf_dir = sf_dir
         self.dim = dim
         self.encoder = encoder or featurize_texts
+        # None ⇒ default feature-hash: the hybrid scorer may then skip
+        # the join-to-string round trip and featurize token arrays
+        self._custom_encoder = encoder
         self.dims = build_dims(spark, sf_dir)
         alias_rows = [r["alias"] for r in self.dims["aliases"].select("alias").collect()]
         self.alias_set_bc = spark.sparkContext.broadcast(frozenset(alias_rows))
@@ -266,6 +269,147 @@ class KgPipeline:
         out = p.select("url", "doc_id", "html").mapInPandas(_fused, schema)
         return out.where((F.col("qid_pred") != "-1") & (F.col("prob") > F.lit(threshold)))
 
+    def _cand_embs(self):
+        """(alias, j, qid, emb) candidate-embedding dim (lazy, cached on
+        the pipeline): the broadcast side of the all-JVM scoring join."""
+        if getattr(self, "_cand_embs_df", None) is None:
+            from bootleg_spark.operators.jvm_link import flat_candidate_embs
+
+            self._cand_embs_df = flat_candidate_embs(
+                self.grouped_cands, self.emb_df
+            ).cache()
+        return self._cand_embs_df
+
+    def linked_relational(
+        self,
+        pages: DataFrame | None = None,
+        threshold: float = S.PROB_THRESHOLD,
+        text_col: str | None = None,
+    ) -> DataFrame:
+        """①–④ with ZERO Python: JVM html strip → relational mention
+        matcher → relational context windows + feature-hash scoring
+        (operators/jvm_link.py). Valid ONLY for rows passing
+        ``jvm_extractable_expr`` ∧ ``clean_text_expr`` with a
+        single-token dictionary — the caller guards (``triples_auto``
+        does; tests exercise the guard violations). ``text_col`` skips
+        the html strip when the caller already carries extracted text
+        (triples_auto does, so the regex chain runs once per row, not
+        twice). Output matches :meth:`linked_fused` exactly on qid/span
+        columns and to ~1e-15 on probs (see jvm_link module docstring).
+        """
+        from bootleg_spark.operators import jvm_link
+        from bootleg_spark.operators.mentions import extract_mentions_ngram_relational
+
+        if self.dict_max_words != 1:
+            raise ValueError(
+                "linked_relational needs a single-token alias dictionary "
+                f"(dict_max_words={self.dict_max_words}); use linked_fused"
+            )
+        p = pages if pages is not None else self.pages()
+        if text_col is None:
+            p = p.select(
+                "url", "doc_id",
+                jvm_link.html_text_expr(F.col("html")).alias("text_extracted"),
+            )
+        else:
+            p = p.select("url", "doc_id", F.col(text_col).alias("text_extracted"))
+        mentions = extract_mentions_ngram_relational(
+            p, self.dims["aliases"], text_col="text_extracted", keep_arr=True
+        )
+        out = jvm_link.link_neural_relational(
+            mentions, self._cand_embs(), dim=self.dim, threshold=threshold
+        )
+        return out.select(
+            "url", "doc_id", "mention_pos", "alias", "char_start", "char_end",
+            "qid_pred", "prob",
+        )
+
+    def triples_auto(
+        self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD
+    ) -> DataFrame:
+        """①–⑤ with per-row dispatch: rows that provably take the
+        all-JVM plan (ASCII no-'&' html, clean single-spaced alnum
+        text, single-token dictionary) run with no Python at all;
+        everything else falls back to the fused ``mapInPandas`` path.
+        Outputs are unioned and deduplicated — a page lives entirely in
+        one branch, and triple emission is per-page co-occurrence, so
+        the union is exact.
+
+        Scale note: the two branches are two filtered scans of the
+        input. The fallback branch's Python workers receive ONLY its
+        rows (the guard filter runs JVM-side before Arrow), so on a
+        clean corpus the second scan is decode+regex only, no Python.
+        When the fallback fraction is material, the production form is
+        the usual two-stage lake layout (extract once, persist text,
+        link from the text table) rather than re-deriving text per run.
+        """
+        from bootleg_spark.operators import jvm_link
+
+        p = pages if pages is not None else self.pages()
+        if self.dict_max_words != 1:
+            return self.triples_fused_local(p, threshold)
+        from bootleg_spark.operators.mentions import extract_mentions_ngram_relational
+
+        jvm_ok = jvm_link.jvm_extractable_expr(F.col("html"))
+        text_jvm = F.when(jvm_ok, jvm_link.html_text_expr(F.col("html")))
+        staged = p.withColumn("_text_jvm", text_jvm)
+        guarded = F.col("_text_jvm").isNotNull() & jvm_link.clean_text_expr(
+            F.col("_text_jvm")
+        )
+        fast_pages = staged.where(guarded).select("doc_id", "_text_jvm")
+        slow_pages = staged.where(~guarded).drop("_text_jvm")
+        # lean path: triples need only (doc_id, qid_pred) — score at
+        # mention grain, skip the span/url attribute join entirely
+        mentions = extract_mentions_ngram_relational(
+            fast_pages, self.dims["aliases"], text_col="_text_jvm", keep_arr=True
+        )
+        linked = jvm_link.score_mentions_relational(
+            mentions, self._cand_embs(), dim=self.dim, threshold=threshold
+        )
+        ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
+        fast_triples = triples_from_doc_entities(ents, self.dims["kg_relations"])
+        slow_triples = self.triples_fused_local(slow_pages, threshold)
+        return fast_triples.unionByName(slow_triples).dropDuplicates(
+            ["subj", "pred", "obj"]
+        )
+
+    def triples_hybrid_jvm(
+        self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD
+    ) -> DataFrame:
+        """①–⑤ with JVM extraction + relational mentions + an
+        Arrow-batched numpy scorer over compact mention rows
+        (jvm_link.score_mentions_pandas) — same guard/fallback split as
+        :meth:`triples_auto`. Bitwise-identical probs to the fused path
+        (same numpy ops); Arrow carries ~70 tokens per mention instead
+        of every page's html."""
+        from bootleg_spark.operators import jvm_link
+        from bootleg_spark.operators.mentions import extract_mentions_ngram_relational
+
+        p = pages if pages is not None else self.pages()
+        if self.dict_max_words != 1:
+            return self.triples_fused_local(p, threshold)
+        jvm_ok = jvm_link.jvm_extractable_expr(F.col("html"))
+        text_jvm = F.when(jvm_ok, jvm_link.html_text_expr(F.col("html")))
+        staged = p.withColumn("_text_jvm", text_jvm)
+        guarded = F.col("_text_jvm").isNotNull() & jvm_link.clean_text_expr(
+            F.col("_text_jvm")
+        )
+        fast_pages = staged.where(guarded).select("doc_id", "_text_jvm")
+        slow_pages = staged.where(~guarded).drop("_text_jvm")
+        mentions = extract_mentions_ngram_relational(
+            fast_pages, self.dims["aliases"], text_col="_text_jvm", keep_arr=True
+        )
+        linked = jvm_link.score_mentions_pandas(
+            mentions, self.ent_matrix_bc, self.cand_dict_bc,
+            dim=self.dim, threshold=threshold, encoder=self._custom_encoder,
+        )
+        ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
+        fast_triples = triples_from_doc_entities(ents, self.dims["kg_relations"])
+        slow_triples = self.triples_fused_local(slow_pages, threshold)
+        return fast_triples.unionByName(slow_triples).dropDuplicates(
+            ["subj", "pred", "obj"]
+        )
+
     def triples_fused_local(self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD) -> DataFrame:
         """①–⑤ in one pass: per-page triple emission inside the fused UDF.
 
@@ -354,9 +498,21 @@ class KgPipeline:
         """⑤ co-occurrence pairs ⋈ relations → dedup'd (subj, pred, obj).
 
         ``fused=True`` (default) runs ①–⑤ as the single-pass
-        :meth:`triples_fused_local` when the ngram+neural combination is
-        requested (relation dict broadcastable); other combinations use
-        the staged operators + the semi-join plan.
+        :meth:`triples_fused_local` — the MEASURED winner. Round 4
+        built two JVM-heavy alternatives and benchmarked all three
+        interleaved at sf0.1×50 on 32 pinned cores (BENCH.md "mention
+        matcher strategies"): fused 2.15 s best / 2.45 s median,
+        :meth:`triples_hybrid_jvm` (JVM extract+mentions, Arrow numpy
+        scorer over mention rows) 6.0 s, :meth:`triples_auto` (zero
+        Python) 9.9 s. The round-3 "JVM passthrough ceiling" (497k
+        pages/s) measured transfer without mention dataflow; actual
+        per-mention JVM scoring pays exchanges + O(dim·T) aggregation
+        that cost more than the ~0.3 s/5k-pages of single-core numpy
+        they displace. The JVM paths remain the right choice for
+        mentions-only jobs (relational extractor alone ~500k pages/s)
+        and popularity-scorer pipelines (fully relational end to end),
+        and both are parity-pinned against this path by
+        tests/test_jvm_link.py.
         """
         if fused and extractor == "ngram" and scorer == "neural":
             return self.triples_fused_local(pages)
