@@ -58,8 +58,14 @@ class SparkAnnotator:
     def label_mentions(self, text_list) -> dict:
         """Reference return contract: dict of parallel per-text lists
         (qids, probs, titles, cands, cand_probs, char_spans, aliases).
-        Driver-side convenience over :meth:`label_frame` — intended for
-        interactive use; batch jobs should keep the DataFrame form."""
+
+        DRIVER-MATERIALIZING convenience (``collect()`` inside),
+        mirroring the interactive ``BootlegAnnotator.label_mentions``
+        which returns plain dicts — do NOT put this in a batch job:
+        every mention row lands in driver memory. Bulk callers use
+        :meth:`label_frame` (DataFrame-in/out, no collect) or
+        ``KgPipeline.linked()`` / ``linked_fused()`` and keep the
+        result distributed."""
         if isinstance(text_list, str):
             text_list = [text_list]
         spark = self.pipe.spark

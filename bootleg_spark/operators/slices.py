@@ -33,6 +33,7 @@ def build_slice_incidence(
     mentions: DataFrame,
     slice_probs: DataFrame,
     use_weak_label: bool = False,
+    split: str = "train",
     sent_col: str = "sent_idx",
     idx_col: str = "alias_idx",
     gold_col: str = "gold",
@@ -41,27 +42,52 @@ def build_slice_incidence(
 
     ``mentions``: one row per (sentence, predict-alias) with a gold
     flag; ``slice_probs``: (sent, alias_idx, slice_name, prob) sparse
-    membership rows. Gold filtering + contiguous reindexing mirror
-    correct_not_augmented_dict_values (data_utils.py:8-34); FINAL_LOSS
-    membership (prob 1.0 on every kept mention) is appended
-    (slice_dataset.py:336-346).
+    membership rows (from synthetic derivation or
+    ``sources.sentences.sentences_to_slice_probs`` on real train
+    files). The reference's two axes (slice_dataset.py:287-346):
+
+    - ``use_weak_label=False`` (any split): only gold mentions remain
+      and indices are REINDEXED contiguous — FINAL_LOSS added before
+      the reindex lands on every kept mention either way
+      (correct_not_augmented_dict_values, data_utils.py:8-34);
+    - ``use_weak_label=True, split != "train"``: every mention keeps
+      its position (arrays stay num_alias2pred wide) but slice
+      membership AND FINAL_LOSS are restricted to gold mentions
+      (slice_dataset.py:293-309) — non-gold slots score 0/-1.0 in
+      :func:`slice_feature_arrays`, the reference's dev-split shape
+      (tests/test_data/test_slice_data.py test_non_gold_aliases);
+    - ``use_weak_label=True, split == "train"``: everything counts.
     """
-    kept = mentions if use_weak_label else mentions.where(F.col(gold_col))
-    w = Window.partitionBy(sent_col).orderBy(idx_col)
-    reindexed = kept.select(
-        F.col(sent_col).alias("sent_idx"),
-        F.col(idx_col).alias("alias_idx"),
-        (F.row_number().over(w) - 1).cast("int").alias("alias_new_idx"),
-    )
+    if not use_weak_label:
+        kept = mentions.where(F.col(gold_col))
+        w = Window.partitionBy(sent_col).orderBy(idx_col)
+        reindexed = kept.select(
+            F.col(sent_col).alias("sent_idx"),
+            F.col(idx_col).alias("alias_idx"),
+            (F.row_number().over(w) - 1).cast("int").alias("alias_new_idx"),
+        )
+        members = reindexed
+    else:
+        reindexed = mentions.select(
+            F.col(sent_col).alias("sent_idx"),
+            F.col(idx_col).alias("alias_idx"),
+            F.col(idx_col).cast("int").alias("alias_new_idx"),
+            F.col(gold_col).alias("_gold"),
+        )
+        members = (
+            reindexed if split == "train" else reindexed.where(F.col("_gold"))
+        )
+        reindexed = reindexed.drop("_gold")
+        members = members.drop("_gold")
     probs = slice_probs.select(
         F.col(sent_col).alias("sent_idx"),
         F.col(idx_col).alias("alias_idx"),
         "slice_name",
         F.col("prob").cast("double").alias("prob"),
     )
-    named = reindexed.join(probs, ["sent_idx", "alias_idx"])
+    named = members.join(probs, ["sent_idx", "alias_idx"])
     out = named.unionByName(
-        reindexed.withColumn("slice_name", F.lit(FINAL_LOSS)).withColumn("prob", F.lit(1.0))
+        members.withColumn("slice_name", F.lit(FINAL_LOSS)).withColumn("prob", F.lit(1.0))
     )
     return out.select(
         "sent_idx",
@@ -78,15 +104,15 @@ def slice_feature_arrays(incidence: DataFrame, max_alias2pred: int | None = None
     incidence at positions with prob > 0.5, probabilities padded with
     -1.0 to ``max_alias2pred`` (global max mentions/sentence when not
     given; the reference computes the same global max,
-    slice_dataset.py:360-377)."""
+    slice_dataset.py:360-377). The auto-derived width
+    (max alias_new_idx + 1) is exact for reindexed incidence
+    (use_weak_label=False); for the eval-split weak-label shape, where
+    non-gold positions carry no incidence rows but still occupy array
+    slots, pass the true per-corpus max explicitly."""
     if max_alias2pred is None:
         max_alias2pred = (
-            incidence.groupBy("sent_idx")
-            .agg(F.countDistinct("alias_new_idx").alias("n"))
-            .agg(F.max("n"))
-            .first()[0]
-            or 0
-        )
+            incidence.agg(F.max("alias_new_idx")).first()[0] or 0
+        ) + 1
     pairs = incidence.groupBy("sent_idx", "slice_name").agg(
         F.array_sort(F.collect_list(F.struct("alias_new_idx", "prob", "in_slice"))).alias("m")
     )

@@ -25,40 +25,53 @@ def _count_in(words_col, markers: tuple[str, ...]):
     return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
 
 
+def lang_ladder_rules() -> list[tuple[str, list[str]]]:
+    """THE single definition of the tie-break ladder: ``[(lang, langs
+    it must tie-or-beat)]`` in priority order (LANG_MARKERS insertion
+    order, en > de > es > fr). Rendered three ways — Spark when-chain
+    (:func:`_lang_ladder_expr`, used by both :func:`lang_pred_expr`
+    and :func:`lang_id_heuristic`) and the DuckDB CASE
+    (``oracle.lang_case_sql``). Round-3 verdict: the chain was
+    hand-maintained in three places; adding a language meant editing
+    all three. Now adding a language is one LANG_MARKERS entry."""
+    order = list(LANG_MARKERS)
+    return [(lang, order[i + 1:]) for i, lang in enumerate(order)]
+
+
+def _lang_ladder_expr(count_of):
+    """Render the ladder as a Spark when-chain. ``count_of``: lang →
+    count Column (marker-hit count)."""
+    chain = None
+    for lang, rest in lang_ladder_rules():
+        cond = count_of(lang) > 0
+        for r in rest:
+            cond = (count_of(lang) >= count_of(r)) & cond
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return chain.otherwise("und")
+
+
 def lang_pred_expr(text_col: str = "text"):
     """pred_lang as a single column expression over ``text_col`` (for
     composed single-scan plans; see :func:`quality_exprs`). Same
-    marker-vote + tie order as :func:`lang_id_heuristic`."""
+    marker-vote + tie order as :func:`lang_id_heuristic` — both render
+    :func:`lang_ladder_rules`."""
     words = F.split(F.col(text_col), " ")
     c = {lang: _count_in(words, m) for lang, m in LANG_MARKERS.items()}
-    return (
-        F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] > 0), "en")
-        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] > 0), "de")
-        .when((c["es"] >= c["fr"]) & (c["es"] > 0), "es")
-        .when(c["fr"] > 0, "fr")
-        .otherwise("und")
-    )
+    return _lang_ladder_expr(lambda lang: c[lang])
 
 
 def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, predicted_lang): language with the most marker-word hits;
-    'und' (undetermined) when no marker occurs. Ties broken by fixed
-    language order en > de > es > fr (greatest-of comparison order)."""
+    'und' (undetermined) when no marker occurs. Ties broken by the
+    fixed :func:`lang_ladder_rules` order."""
     words = F.split(F.col(text_col), " ")
     d = docs.select(F.col(id_col).alias("id"), words.alias("w"))
     counts = {lang: _count_in(F.col("w"), m) for lang, m in LANG_MARKERS.items()}
     sel = d.select("id", *[counts[k].cast("long").alias(f"n_{k}") for k in LANG_MARKERS])
-    pred = (
-        F.when(
-            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_fr")) & (F.col("n_en") > 0),
-            "en",
-        )
-        .when((F.col("n_de") >= F.col("n_es")) & (F.col("n_de") >= F.col("n_fr")) & (F.col("n_de") > 0), "de")
-        .when((F.col("n_es") >= F.col("n_fr")) & (F.col("n_es") > 0), "es")
-        .when(F.col("n_fr") > 0, "fr")
-        .otherwise("und")
+    pred = _lang_ladder_expr(lambda lang: F.col(f"n_{lang}"))
+    return sel.select(
+        "id", *[f"n_{k}" for k in LANG_MARKERS], pred.alias("pred_lang")
     )
-    return sel.select("id", "n_en", "n_de", "n_es", "n_fr", pred.alias("pred_lang"))
 
 
 # GPT-2-style pretokenizer shape without lookarounds (portable between

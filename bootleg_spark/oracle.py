@@ -163,14 +163,17 @@ def marker_count_sql(lang: str) -> str:
 
 
 def lang_case_sql() -> str:
-    """pred_lang CASE — mirror of ``textstats.lang_pred_expr`` (marker
-    vote, tie order en > de > es > fr, 'und' when no marker)."""
-    en, de, es, fr = (marker_count_sql(x) for x in ("en", "de", "es", "fr"))
-    return f"""CASE WHEN {en} >= {de} AND {en} >= {es} AND {en} >= {fr} AND {en} > 0 THEN 'en'
-              WHEN {de} >= {es} AND {de} >= {fr} AND {de} > 0 THEN 'de'
-              WHEN {es} >= {fr} AND {es} > 0 THEN 'es'
-              WHEN {fr} > 0 THEN 'fr'
-              ELSE 'und' END"""
+    """pred_lang CASE — renders the SAME ``lang_ladder_rules`` the
+    Spark expressions render (one ladder definition, three call
+    sites)."""
+    from bootleg_spark.operators.textstats import lang_ladder_rules
+
+    cnt = {lang: marker_count_sql(lang) for lang, _ in lang_ladder_rules()}
+    whens = []
+    for lang, rest in lang_ladder_rules():
+        conds = [f"{cnt[lang]} >= {cnt[r]}" for r in rest] + [f"{cnt[lang]} > 0"]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + "\n              ".join(whens) + "\n              ELSE 'und' END"
 
 
 def quality_sql() -> str:

@@ -135,3 +135,99 @@ def test_user_journey_profile_plus_sentences_jsonl(spark, tmp_path):
     }
     # popularity scorer picks each alias's top-scored profile candidate
     assert got == {("alias1", "Q1"), ("multi word alias2", "Q4")}
+
+
+def test_slices_threading_reference_dev_fixture(spark, tmp_path):
+    """The round-3 verdict's missing seam: `slices` maps from sentence
+    JSONL must reach slice incidence. Fixture and expected arrays are
+    the reference's own test_non_gold_aliases Test 1 (dev split,
+    use_weak_label=True — tests/test_data/test_slice_data.py:376-449):
+    3 aliases, only the 3rd gold, so non-gold slots score 0 / -1.0 but
+    keep their positions."""
+    import json
+
+    from bootleg_spark.operators.slices import (
+        build_slice_incidence,
+        slice_feature_arrays,
+    )
+
+    line = {
+        "aliases": ["alias3", "alias4", "alias3"],
+        "qids": ["Q1", "Q4", "Q1"],
+        "sent_idx_unq": 0,
+        "sentence": "alias3 alias4 alias3",
+        "char_spans": [[0, 6], [7, 13], [14, 20]],
+        "slices": {
+            "slice1": {"0": 0.9, "1": 0.3, "2": 0.5},
+            "slice2": {"0": 0.0, "1": 0.0, "2": 1.0},
+        },
+        "gold": [False, False, True],
+    }
+    p = str(tmp_path / "dev.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    sents = sentences.read_sentences_jsonl(spark, p)
+    assert sentences.validate_sentences(sents).count() == 0
+    probs = sentences.sentences_to_slice_probs(sents)
+    assert {
+        (r["alias_idx"], r["slice_name"], r["prob"]) for r in probs.collect()
+    } == {
+        (0, "slice1", 0.9), (1, "slice1", 0.3), (2, "slice1", 0.5),
+        (0, "slice2", 0.0), (1, "slice2", 0.0), (2, "slice2", 1.0),
+    }
+    mentions = sents.select(
+        F.col("sent_idx_unq").alias("sent_idx"),
+        F.posexplode("gold").alias("alias_idx", "gold"),
+    )
+    inc = build_slice_incidence(
+        mentions, probs, use_weak_label=True, split="dev"
+    )
+    rows = {(r["slice_name"], r["alias_new_idx"], r["prob"], r["in_slice"])
+            for r in inc.collect()}
+    # only the gold mention (position 2) carries membership
+    assert rows == {
+        ("final_loss", 2, 1.0, True),
+        ("slice1", 2, 0.5, False),
+        ("slice2", 2, 1.0, True),
+    }
+    # array layout == the reference's gold_data record arrays
+    arrays = {
+        r["slice_name"]: (r["incidence"], r["probs"])
+        for r in slice_feature_arrays(inc, max_alias2pred=3).collect()
+    }
+    assert arrays["final_loss"] == ([0, 0, 1], [-1.0, -1.0, 1.0])
+    assert arrays["slice1"] == ([0, 0, 0], [-1.0, -1.0, 0.5])
+    assert arrays["slice2"] == ([0, 0, 1], [-1.0, -1.0, 1.0])
+
+
+def test_slices_threading_train_weak_keeps_all(spark, tmp_path):
+    """Same fixture, train split + weak labels: every mention counts
+    (slice_dataset.py:309, FINAL_LOSS over all aliases)."""
+    import json
+
+    from bootleg_spark.operators.slices import build_slice_incidence
+
+    line = {
+        "aliases": ["alias3", "alias4"],
+        "qids": ["Q1", "Q4"],
+        "sent_idx_unq": 7,
+        "sentence": "alias3 alias4",
+        "char_spans": [[0, 6], [7, 13]],
+        "slices": {"slice1": {"0": 0.9, "1": 0.3}},
+        "gold": [False, True],
+    }
+    p = str(tmp_path / "train.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    sents = sentences.read_sentences_jsonl(spark, p)
+    probs = sentences.sentences_to_slice_probs(sents)
+    mentions = sents.select(
+        F.col("sent_idx_unq").alias("sent_idx"),
+        F.posexplode("gold").alias("alias_idx", "gold"),
+    )
+    inc = build_slice_incidence(mentions, probs, use_weak_label=True, split="train")
+    rows = {(r["slice_name"], r["alias_new_idx"], r["prob"]) for r in inc.collect()}
+    assert rows == {
+        ("final_loss", 0, 1.0), ("final_loss", 1, 1.0),
+        ("slice1", 0, 0.9), ("slice1", 1, 0.3),
+    }
