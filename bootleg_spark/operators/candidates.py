@@ -48,6 +48,37 @@ def grouped_candidates(
     )
 
 
+def attach_candidates_salted(
+    mentions: DataFrame,
+    alias_cands: DataFrame,
+    salt_n: int = 16,
+    fact_keys: tuple[str, ...] = ("doc_id", "mention_pos"),
+    max_candidates: int = S.MAX_CANDIDATES,
+    grouped: DataFrame | None = None,
+) -> DataFrame:
+    """Shuffle-join variant of :func:`attach_candidates` for alias
+    dictionaries beyond broadcast budget, salted against head-alias
+    skew (SURVEY §4; north_rule "skew from head entities handled with
+    salted repartitioning").
+
+    A plain shuffle join partitions both sides by ``alias``, so a head
+    alias covering half the corpus lands its half on ONE reducer. Here
+    the fact side derives a deterministic salt from its row keys and
+    the (small-per-alias) dim side replicates each alias ``salt_n``
+    times; the equi-join on (alias, salt) spreads the hot alias across
+    ``salt_n`` reducers at the cost of a ``salt_n``× dim blow-up —
+    cheap, the dim is one array row per alias. Output rows identical
+    to the broadcast form (pytest-pinned); scripts/skew_bench.py
+    measures the skew behavior."""
+    cands = grouped if grouped is not None else grouped_candidates(alias_cands, max_candidates)
+    salt = F.pmod(F.hash(*[F.col(k) for k in fact_keys]), F.lit(salt_n))
+    fact = mentions.withColumn("_salt", salt)
+    dim = cands.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    return fact.hint("shuffle_hash").join(dim, ["alias", "_salt"]).drop("_salt")
+
+
 def attach_candidates(
     mentions: DataFrame,
     alias_cands: DataFrame,

@@ -240,3 +240,25 @@ def test_triples_strategies_agree_on_dirty_corpus(spark, pipe):
     t_a = {tuple(r) for r in pipe.triples_auto(mixed).collect()}
     t_h = {tuple(r) for r in pipe.triples_hybrid_jvm(mixed).collect()}
     assert t_f == t_a == t_h and len(t_f) > 0
+
+
+def test_salted_candidate_join_matches_broadcast(spark, pipe):
+    """attach_candidates_salted (the beyond-broadcast-budget shuffle
+    form, salted against head-alias skew) must produce exactly the
+    broadcast join's rows."""
+    from bootleg_spark.operators.candidates import (
+        attach_candidates,
+        attach_candidates_salted,
+    )
+    from bootleg_spark.operators.mentions import extract_mentions_word
+
+    docs = pipe.dims["documents"].select("doc_id", "text")
+    m = extract_mentions_word(docs, pipe.dims["aliases"], text_col="text")
+    cols = ["doc_id", "mention_pos", "alias", "cand_qids", "cand_eids"]
+    bc = attach_candidates(m, pipe.dims["alias_cands"], grouped=pipe.grouped_cands)
+    salted = attach_candidates_salted(
+        m, pipe.dims["alias_cands"], salt_n=8, grouped=pipe.grouped_cands
+    )
+    a = {tuple(map(str, r)) for r in bc.select(*cols).collect()}
+    b = {tuple(map(str, r)) for r in salted.select(*cols).collect()}
+    assert a == b and len(a) > 0
