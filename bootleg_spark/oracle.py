@@ -176,6 +176,17 @@ def lang_case_sql() -> str:
     return "CASE " + "\n              ".join(whens) + "\n              ELSE 'und' END"
 
 
+def md5_draw_sql(id_expr: str, seed: int) -> str:
+    """Uniform draw in [0,1) — mirror of ``sampling._uniform_draw``:
+    md5 of "seed:id", first 8 hex digits as a big-endian uint, / 2^32.
+    DuckDB parses the hex via the '0x' string cast; verified equal to
+    Spark's conv(substring(md5,1,8),16,10)."""
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" / 4294967296.0)"
+    )
+
+
 def quality_sql() -> str:
     """quality score — mirror of ``textstats.quality_exprs['quality']``."""
     n_words = "len(string_split(text,' '))"

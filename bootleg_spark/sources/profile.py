@@ -33,6 +33,7 @@ codegen fast path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -326,3 +327,92 @@ def profile_dims(
         "entity_types": profile_entity_types(profile, max_types),
         "kg_relations": profile_kg_relations(profile, max_kg_connections),
     }
+
+
+def profile_jsonl_lines(profile: DataFrame, order: str = "qid") -> DataFrame:
+    """(``_key``, ``line``): serialized profile lines mirroring the
+    reference's ``EntityProfile.save_to_jsonl``
+    (entity_profile.py:286-319):
+
+    - one JSON object per entity with keys in the reference's emit
+      order (entity_id, mentions, title, then description/types/
+      relations only when nonempty);
+    - mentions as ``[alias, score]`` pairs sorted score-descending
+      (``get_mentions_with_scores``, entity_symbols.py:811-826 —
+      Python stable sort, so ties keep their stored order);
+    - compact separators and ``ensure_ascii=False``, matching ujson.
+
+    ``order``: "qid" (sorted entity_id — the default reader's eid
+    order) or "file" (``_line_no`` from the ordered reader — exact
+    reference line order for round-trips). Assembly runs in one
+    Arrow-batched pandas UDF over entity rows (dim grain, not corpus
+    grain); everything else is a projection."""
+    import json
+
+    from pyspark.sql.types import StringType as _Str
+
+    @F.pandas_udf(_Str())
+    def _to_line(
+        entity_id: pd.Series,
+        mentions: pd.Series,
+        title: pd.Series,
+        description: pd.Series,
+        types: pd.Series,
+        relations: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for eid, ms, t, d, ty, rels in zip(
+            entity_id, mentions, title, description, types, relations
+        ):
+            pairs = [[m[0], float(m[1])] for m in (ms if ms is not None else [])]
+            pairs.sort(key=lambda p: -p[1])  # stable: ties keep order
+            obj = {"entity_id": eid, "mentions": pairs, "title": t}
+            if d:
+                obj["description"] = d
+            ty_items = dict(ty) if ty is not None else {}
+            # v arrives as a numpy array through Arrow — test length,
+            # not truthiness (ambiguous for arrays)
+            ty_items = {k: list(v) for k, v in ty_items.items() if len(v) > 0}
+            if ty_items:
+                obj["types"] = ty_items
+            rel_items = [
+                {"relation": r["relation"], "object": r["object"]}
+                for r in (rels if rels is not None else [])
+            ]
+            if rel_items:
+                obj["relations"] = rel_items
+            out.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+        return pd.Series(out)
+
+    key = F.col("_line_no") if order == "file" else F.col("entity_id")
+    if order == "file" and "_line_no" not in profile.columns:
+        raise ValueError(
+            "order='file' needs the _line_no column — read the profile "
+            "with read_profile_jsonl_ordered"
+        )
+    ok = profile.where(F.col("_corrupt").isNull()) if "_corrupt" in profile.columns else profile
+    return ok.select(
+        key.alias("_key"),
+        _to_line(
+            "entity_id", "mentions", "title", "description", "types", "relations"
+        ).alias("line"),
+    )
+
+
+def write_profile_jsonl(profile: DataFrame, path: str, order: str = "qid") -> None:
+    """Write the profile back to a single JSONL file in ``order``
+    (save_to_jsonl writes one sequential file). Distributed sort, one
+    writer task — fine at entity-dim scale (5.8M lines ≈ 1 GB); a
+    cluster-scale variant writes range-partitioned part files
+    (``repartitionByRange(_key).sortWithinPartitions``) and
+    concatenates on commit."""
+    import glob
+    import os
+    import shutil
+
+    lines = profile_jsonl_lines(profile, order=order)
+    tmp = path + "._spark_tmp"
+    lines.orderBy("_key").coalesce(1).select("line").write.mode("overwrite").text(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)

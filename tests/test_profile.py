@@ -291,3 +291,49 @@ def test_ordered_reader_matches_default_on_reference_sample(spark):
     a = {r["entity_id"]: (r["title"], r["description"]) for r in ordered.collect()}
     b = {r["entity_id"]: (r["title"], r["description"]) for r in default.collect()}
     assert a == b
+
+
+def test_profile_jsonl_write_roundtrip(spark, tmp_path):
+    """save_to_jsonl parity (entity_profile.py:286-319): write the
+    parsed reference sample back out, re-read it, and compare frames;
+    a second write of the re-read profile must be byte-identical
+    (serialization is a fixed point)."""
+    if not os.path.exists(REF_SAMPLE):
+        pytest.skip("reference sample not present")
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bootleg_spark.sources.profile import write_profile_jsonl
+
+    prof = read_profile_jsonl(spark, REF_SAMPLE)
+    out1 = str(tmp_path / "roundtrip.jsonl")
+    write_profile_jsonl(prof, out1)
+    back = read_profile_jsonl(spark, out1)
+    assert back.where(F.col("_corrupt").isNotNull()).count() == 0
+    assert back.count() == prof.count()
+
+    def canon(df):
+        rows = {}
+        for r in df.collect():
+            ms = sorted([(m[0], float(m[1])) for m in r["mentions"]])
+            ty = {k: list(v) for k, v in (r["types"] or {}).items() if len(v) > 0}
+            rel = sorted((x["relation"], x["object"]) for x in (r["relations"] or []))
+            rows[r["entity_id"]] = (ms, r["title"], r["description"], ty, rel)
+        return rows
+
+    assert canon(prof) == canon(back)
+    # reference emit-order + score-sort invariants on the written file
+    with open(out1) as f:
+        lines = [_json.loads(l) for l in f]
+    assert [l["entity_id"] for l in lines] == sorted(l["entity_id"] for l in lines)
+    for l in lines:
+        scores = [m[1] for m in l["mentions"]]
+        assert scores == sorted(scores, reverse=True)
+        assert "description" not in l or l["description"] != ""
+        keys = list(l.keys())
+        assert keys[:3] == ["entity_id", "mentions", "title"]
+    # fixed point: write(read(write(x))) == write(x)
+    out2 = str(tmp_path / "roundtrip2.jsonl")
+    write_profile_jsonl(back, out2)
+    assert open(out1, "rb").read() == open(out2, "rb").read()
