@@ -1,15 +1,24 @@
-"""All-JVM entity linking: the no-Python fast path for clean web text.
+"""All-JVM entity linking: the zero-Python strategy for clean web text.
 
-The fused ``mapInPandas`` pipeline (plans/pipeline.py) is the general
-path, but BENCH.md's stage breakdown shows ~45% of its cost is Arrow
-html transfer and ~50% Python extractor/scorer compute, with a measured
-JVM-passthrough ceiling ~2x the achieved throughput. This module closes
-that gap: on rows that provably take the Python extractor's clean-text
-fast path (and with a single-token alias dictionary), EVERY stage —
-boilerplate strip, mention matching, context windowing, feature-hash
-encoding, candidate scoring — is expressible as Catalyst expressions,
-so the whole ①–④ plan runs inside whole-stage codegen with zero Python
-workers and zero Arrow traffic.
+On rows that provably take the Python extractor's clean-text fast path
+(and with a single-token alias dictionary), EVERY stage — boilerplate
+strip, mention matching, context windowing, feature-hash encoding,
+candidate scoring — is expressible as Catalyst expressions: no Python
+workers, no Arrow traffic.
+
+MEASURED VERDICT (BENCH.md "Mention-matcher strategies", round 4):
+end-to-end this is NOT the fastest triples path on this workload —
+fused mapInPandas 2.15 s vs 9.9 s (all-JVM) / 6.0 s (hybrid) at
+sf0.1×50 on 32 pinned cores. The round-3 "497k pages/s JVM ceiling"
+measured a passthrough with no mention dataflow; real JVM scoring pays
+mention-grain exchanges + O(dim·T) aggregation that cost more than the
+~0.3 s/5k-pages of single-core numpy they displace. So
+``KgPipeline.triples()`` defaults to the fused path, and this module
+is the right tool for OTHER shapes: mentions-only jobs (the relational
+extractor alone sustains ~500k pages/s), popularity-scorer pipelines
+(relational end to end), or any scorer whose per-candidate cost dwarfs
+an exchange. All strategies are output-identical (parity pinned by
+tests/test_jvm_link.py and the shared driver oracles).
 
 Output parity with the Python path:
 

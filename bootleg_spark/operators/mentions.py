@@ -492,6 +492,132 @@ def extract_mentions_ner(
     )
 
 
+def extract_mentions_ngram_relational_multi(
+    df: DataFrame,
+    alias_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+) -> DataFrame:
+    """Multi-word generalization of
+    :func:`extract_mentions_ngram_relational` — the full n-gram
+    extractor (bootleg/utils/mention_extractor_utils.py:138-204) as a
+    relational plan, valid on the same guarded class (single-spaced
+    ``[A-Za-z0-9]+`` words) but for dictionaries of ANY word count:
+    real Bootleg alias maps are mostly multi-word, so the mentions-only
+    JVM fast path needs this form.
+
+    On the guarded class the Python semantics reduce exactly to:
+
+    - candidate windows (i, n), n = max_alias_len..min_alias_len:
+      ≥1 noun-ish token; no noun continuation across either boundary;
+      boundary tokens not 's'; first token not a stopword unless
+      capitalized or sentence-initial; last token not a stopword
+      (numeric can only fire for n=1, where the noun-ish flag already
+      excludes digits; the 's/punct lookup variants are identities —
+      no apostrophes or punctuation exist in the class);
+    - dictionary membership of the lowercased gram (lnrm == lower);
+    - greedy longest-first acceptance in (n desc, i asc) order, then
+      span-sorted output.
+
+    Plan shape: explode the (n, i) windows (codegen filters over the
+    materialized flag/lower arrays), ONE broadcast join against the
+    alias dim keyed by the gram string, then a per-document fold
+    implementing the greedy acceptance over the few dict-matched
+    candidates (interpreted HOF, but at candidate grain — a handful of
+    elements per document). Equality with the Python extractor is
+    pinned by a hypothesis differential fuzz over capitalized
+    multi-word vocab (tests/test_mentions.py).
+    """
+    stop = sorted(STOP_WORDS)
+
+    def nounish(w):
+        return (~w.isin(*stop)) & (~w.rlike("^[0-9]+$")) & (F.length(w) > 0)
+
+    base = (
+        df.withColumn("_arr", F.split(F.col(text_col), " "))
+        .withColumn("_arrl", F.transform(F.col("_arr"), F.lower))
+        .withColumn("_keep", F.transform(F.col("_arrl"), nounish))
+        .withColumn("_len", F.size(F.col("_arr")))
+    )
+    ns = base.withColumn(
+        "_n",
+        F.explode(
+            F.sequence(
+                F.least(F.lit(max_alias_len), F.col("_len")), F.lit(min_alias_len), F.lit(-1)
+            )
+        ),
+    ).where(F.col("_n") >= min_alias_len)
+    wins = ns.withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_len") - F.col("_n"))))
+
+    def keep_at(j):
+        return F.coalesce(F.get(F.col("_keep"), j), F.lit(False))
+
+    i, n = F.col("_i"), F.col("_n")
+    first_l = F.element_at(F.col("_arrl"), i + 1)
+    last_l = F.element_at(F.col("_arrl"), i + n)
+    any_keep = F.array_contains(F.slice(F.col("_keep"), i + 1, n), True)
+    split_left = (i > 0) & keep_at(i) & keep_at(i - 1)
+    split_right = (i + n < F.col("_len")) & keep_at(i + n - 1) & keep_at(i + n)
+    is_important = (i == 0) | F.substring(F.element_at(F.col("_arr"), i + 1), 1, 1).rlike(
+        "[A-Z]"
+    )
+    bad_boundary = (
+        first_l.isin("s") | last_l.isin("s")
+        | (~is_important & first_l.isin(*stop))
+        | last_l.isin(*stop)
+    )
+    cand = wins.where(any_keep & ~split_left & ~split_right & ~bad_boundary)
+    cand = cand.withColumn("_gram", F.concat_ws(" ", F.slice(F.col("_arrl"), i + 1, n)))
+    hits = cand.join(
+        F.broadcast(alias_df.select(F.col("alias").alias("_gram"))), "_gram"
+    )
+    # greedy longest-first acceptance per document: sort candidates by
+    # (n desc, i asc), fold keeping non-overlapping token ranges. The
+    # fold is an interpreted HOF but runs over dict-MATCHED candidates
+    # only (a handful per document).
+    per_doc = hits.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct((-n).alias("negn"), i.alias("i"), n.alias("n"), F.col("_gram").alias("g")))
+        ).alias("_cands"),
+        F.first("_arr").alias("_arr"),
+        *[F.first(c).alias(c) for c in df.columns if c != id_col],
+    )
+    empty = F.array().cast(
+        "array<struct<negn:int,i:int,n:int,g:string>>"
+    )
+    accepted = F.aggregate(
+        F.col("_cands"),
+        empty,
+        lambda acc, c: F.when(
+            F.exists(acc, lambda a: (a["i"] < c["i"] + c["n"]) & (a["i"] + a["n"] > c["i"])),
+            acc,
+        ).otherwise(F.concat(acc, F.array(c))),
+    )
+    out = per_doc.withColumn("_m", F.explode(accepted))
+    mi, mn = F.col("_m.i"), F.col("_m.n")
+    char_start = F.when(mi == 0, F.lit(0)).otherwise(
+        F.length(F.concat_ws(" ", F.slice(F.col("_arr"), 1, mi))) + 1
+    )
+    gram_len = F.length(F.concat_ws(" ", F.slice(F.col("_arr"), mi + 1, mn)))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy(mi)
+    return (
+        out.withColumn("char_start", char_start.cast("int"))
+        .withColumn("char_end", (F.col("char_start") + gram_len).cast("int"))
+        .withColumn("mention_pos", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            *df.columns,
+            "mention_pos",
+            F.col("_m.g").alias("alias"),
+            "char_start",
+            "char_end",
+        )
+    )
+
+
 def extract_mentions_ngram_relational(
     df: DataFrame,
     alias_df: DataFrame,

@@ -227,3 +227,50 @@ def test_fast_paths_match_generic_extractor(text):
 def test_clean_tokenizer_matches_finditer(text):
     # precondition of the clean fast path: pure alnum+space
     assert tokenize_with_offsets(text, clean=True) == tokenize_with_offsets(text, clean=False)
+
+
+def test_relational_multiword_extractor_equals_python(spark):
+    """The multi-word relational extractor must reproduce the Python
+    n-gram extractor row-for-row on the guarded class (single-spaced
+    alnum words, mixed case) with a MULTI-WORD dictionary — including
+    longest-first overlap suppression, the capitalized-stopword
+    exception, and split-noun boundaries."""
+    import itertools
+    import random
+
+    from bootleg_spark.operators.mentions import (
+        extract_mentions_ngram_relational_multi,
+    )
+
+    aliases = frozenset(
+        {"new york", "new york city", "york", "city hall", "the hall",
+         "spark", "data engine", "big data engine", "hall"}
+    )
+    vocab = ["New", "York", "City", "Hall", "the", "spark", "Big", "Data",
+             "engine", "of", "42", "and", "x"]
+    rng = random.Random(1234)
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 14))) for _ in range(300)
+    ]
+    texts += [
+        "New York City Hall",          # nested overlaps, longest wins
+        "the hall",                    # sentence-initial stopword is important
+        "spark the hall",              # mid-sentence 'the hall' — 'the' lowercase stopword
+        "Big Data engine and data engine",
+        "York",
+        "x the Hall",
+    ]
+    expected = []
+    for t in texts:
+        for a, s, e in ngram_extract_aliases(t, aliases, 1, 6):
+            expected.append((t, a, s, e))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    adf = spark.createDataFrame([(a,) for a in sorted(aliases)], "alias string")
+    got = [
+        (r["text"], r["alias"], r["char_start"], r["char_end"])
+        for r in extract_mentions_ngram_relational_multi(df, adf).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > 50  # the fixture really exercises matches
