@@ -152,3 +152,41 @@ def test_merge_refuses_layout_mismatch(spark, tmp_path):
     os.remove(os.path.join(store_path, "_LAYOUT"))
     with pytest.raises(ValueError, match="layout"):
         merge_new_triples(spark, mk([("C", "r", "D")]), store_path, n_buckets=64)
+
+
+def test_linked_pipeline_runs_as_streaming_query(spark, tmp_path):
+    """The fused KG linking plan (①–④, one stateless mapInPandas) must
+    run unchanged under Structured Streaming: pages stream in as
+    parquet files, linked mentions stream out, and the result matches
+    the batch run row-for-row. This is the north-star ingest shape —
+    a crawl feed linking continuously into the graph store."""
+    from pyspark.sql import functions as F
+
+    from bootleg_spark.plans.pipeline import KgPipeline
+    from tests.conftest import SF_SMOKE
+
+    pipe = KgPipeline(spark, SF_SMOKE)
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "linked_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pipe.pages()
+    pages.write.mode("overwrite").parquet(src)
+    stream_pages = spark.readStream.schema(pages.schema).parquet(src)
+    q = (
+        pipe.linked_fused(stream_pages)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["url"], r["mention_pos"], r["alias"], r["qid_pred"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["url"], r["mention_pos"], r["alias"], r["qid_pred"])
+        for r in pipe.linked_fused(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) > 0
