@@ -540,6 +540,11 @@ def extract_mentions_ngram_relational_multi(
         .withColumn("_arrl", F.transform(F.col("_arr"), F.lower))
         .withColumn("_keep", F.transform(F.col("_arrl"), nounish))
         .withColumn("_len", F.size(F.col("_arr")))
+        # documents shorter than min_alias_len have no windows — and a
+        # descending F.sequence with start < stop THROWS rather than
+        # yielding empty (Python's range just yields nothing), so the
+        # filter must run before the explode
+        .where(F.col("_len") >= min_alias_len)
     )
     ns = base.withColumn(
         "_n",
@@ -548,7 +553,7 @@ def extract_mentions_ngram_relational_multi(
                 F.least(F.lit(max_alias_len), F.col("_len")), F.lit(min_alias_len), F.lit(-1)
             )
         ),
-    ).where(F.col("_n") >= min_alias_len)
+    )
     wins = ns.withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_len") - F.col("_n"))))
 
     def keep_at(j):

@@ -76,9 +76,7 @@ def build_slice_incidence(
         )
         members = (
             reindexed if split == "train" else reindexed.where(F.col("_gold"))
-        )
-        reindexed = reindexed.drop("_gold")
-        members = members.drop("_gold")
+        ).drop("_gold")
     probs = slice_probs.select(
         F.col(sent_col).alias("sent_idx"),
         F.col(idx_col).alias("alias_idx"),

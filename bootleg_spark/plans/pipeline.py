@@ -305,6 +305,14 @@ class KgPipeline:
                 "linked_relational needs a single-token alias dictionary "
                 f"(dict_max_words={self.dict_max_words}); use linked_fused"
             )
+        if self._custom_encoder is not None:
+            raise ValueError(
+                "linked_relational hard-codes the default feature-hash "
+                "scorer; with a custom encoder the entity embeddings and "
+                "the relational context vectors would disagree — use "
+                "linked_fused (or score_mentions_pandas, which threads "
+                "the encoder)"
+            )
         p = pages if pages is not None else self.pages()
         if text_col is None:
             p = p.select(
@@ -324,16 +332,14 @@ class KgPipeline:
             "qid_pred", "prob",
         )
 
-    def triples_auto(
-        self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD
-    ) -> DataFrame:
-        """①–⑤ with per-row dispatch: rows that provably take the
-        all-JVM plan (ASCII no-'&' html, clean single-spaced alnum
-        text, single-token dictionary) run with no Python at all;
-        everything else falls back to the fused ``mapInPandas`` path.
-        Outputs are unioned and deduplicated — a page lives entirely in
-        one branch, and triple emission is per-page co-occurrence, so
-        the union is exact.
+    def _triples_dispatch(self, pages, threshold, scorer_fn) -> DataFrame:
+        """Shared guard-split + triples assembly for the JVM-extraction
+        strategies: rows passing the guards (ASCII no-'&' html, clean
+        single-spaced alnum text) take JVM extraction + relational
+        mentions + ``scorer_fn(mentions)``; everything else falls back
+        to the fused ``mapInPandas`` path. Outputs unioned and
+        deduplicated — a page lives entirely in one branch and triple
+        emission is per-page co-occurrence, so the union is exact.
 
         Scale note: the two branches are two filtered scans of the
         input. The fallback branch's Python workers receive ONLY its
@@ -344,15 +350,11 @@ class KgPipeline:
         link from the text table) rather than re-deriving text per run.
         """
         from bootleg_spark.operators import jvm_link
-
-        p = pages if pages is not None else self.pages()
-        if self.dict_max_words != 1:
-            return self.triples_fused_local(p, threshold)
         from bootleg_spark.operators.mentions import extract_mentions_ngram_relational
 
         jvm_ok = jvm_link.jvm_extractable_expr(F.col("html"))
         text_jvm = F.when(jvm_ok, jvm_link.html_text_expr(F.col("html")))
-        staged = p.withColumn("_text_jvm", text_jvm)
+        staged = pages.withColumn("_text_jvm", text_jvm)
         guarded = F.col("_text_jvm").isNotNull() & jvm_link.clean_text_expr(
             F.col("_text_jvm")
         )
@@ -363,14 +365,35 @@ class KgPipeline:
         mentions = extract_mentions_ngram_relational(
             fast_pages, self.dims["aliases"], text_col="_text_jvm", keep_arr=True
         )
-        linked = jvm_link.score_mentions_relational(
-            mentions, self._cand_embs(), dim=self.dim, threshold=threshold
-        )
+        linked = scorer_fn(mentions)
         ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
         fast_triples = triples_from_doc_entities(ents, self.dims["kg_relations"])
         slow_triples = self.triples_fused_local(slow_pages, threshold)
         return fast_triples.unionByName(slow_triples).dropDuplicates(
             ["subj", "pred", "obj"]
+        )
+
+    def triples_auto(
+        self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD
+    ) -> DataFrame:
+        """①–⑤ with per-row dispatch to the all-JVM plan (zero Python on
+        guarded rows) — see :meth:`_triples_dispatch`. Requires BOTH a
+        single-token dictionary AND the default feature-hash encoder:
+        the relational scorer hard-codes the md5 feature-hash math, so
+        a pipeline built with a custom encoder must not mix it with
+        custom-encoded entity embeddings (silently wrong dots) — such
+        pipelines fall back to the fused path entirely."""
+        from bootleg_spark.operators import jvm_link
+
+        p = pages if pages is not None else self.pages()
+        if self.dict_max_words != 1 or self._custom_encoder is not None:
+            return self.triples_fused_local(p, threshold)
+        return self._triples_dispatch(
+            p,
+            threshold,
+            lambda mentions: jvm_link.score_mentions_relational(
+                mentions, self._cand_embs(), dim=self.dim, threshold=threshold
+            ),
         )
 
     def triples_hybrid_jvm(
@@ -379,35 +402,22 @@ class KgPipeline:
         """①–⑤ with JVM extraction + relational mentions + an
         Arrow-batched numpy scorer over compact mention rows
         (jvm_link.score_mentions_pandas) — same guard/fallback split as
-        :meth:`triples_auto`. Bitwise-identical probs to the fused path
-        (same numpy ops); Arrow carries ~70 tokens per mention instead
-        of every page's html."""
+        :meth:`triples_auto`, but encoder-agnostic: a custom encoder
+        threads through to the scorer. Bitwise-identical probs to the
+        fused path (same numpy ops); Arrow carries ~70 tokens per
+        mention instead of every page's html."""
         from bootleg_spark.operators import jvm_link
-        from bootleg_spark.operators.mentions import extract_mentions_ngram_relational
 
         p = pages if pages is not None else self.pages()
         if self.dict_max_words != 1:
             return self.triples_fused_local(p, threshold)
-        jvm_ok = jvm_link.jvm_extractable_expr(F.col("html"))
-        text_jvm = F.when(jvm_ok, jvm_link.html_text_expr(F.col("html")))
-        staged = p.withColumn("_text_jvm", text_jvm)
-        guarded = F.col("_text_jvm").isNotNull() & jvm_link.clean_text_expr(
-            F.col("_text_jvm")
-        )
-        fast_pages = staged.where(guarded).select("doc_id", "_text_jvm")
-        slow_pages = staged.where(~guarded).drop("_text_jvm")
-        mentions = extract_mentions_ngram_relational(
-            fast_pages, self.dims["aliases"], text_col="_text_jvm", keep_arr=True
-        )
-        linked = jvm_link.score_mentions_pandas(
-            mentions, self.ent_matrix_bc, self.cand_dict_bc,
-            dim=self.dim, threshold=threshold, encoder=self._custom_encoder,
-        )
-        ents = doc_entities(linked, id_col="doc_id", qid_col="qid_pred")
-        fast_triples = triples_from_doc_entities(ents, self.dims["kg_relations"])
-        slow_triples = self.triples_fused_local(slow_pages, threshold)
-        return fast_triples.unionByName(slow_triples).dropDuplicates(
-            ["subj", "pred", "obj"]
+        return self._triples_dispatch(
+            p,
+            threshold,
+            lambda mentions: jvm_link.score_mentions_pandas(
+                mentions, self.ent_matrix_bc, self.cand_dict_bc,
+                dim=self.dim, threshold=threshold, encoder=self._custom_encoder,
+            ),
         )
 
     def triples_fused_local(self, pages: DataFrame | None = None, threshold: float = S.PROB_THRESHOLD) -> DataFrame:

@@ -124,7 +124,11 @@ def _enumerate_input_files(sc, path: str) -> list[str]:
                 name = child.getPath().getName()
                 if child.isFile() and not name.startswith(("_", ".")):
                     out.append(str(child.getPath()))
-        else:
+        elif not st.getPath().getName().startswith(("_", ".")):
+            # same hidden-file rule in the glob branch: Hadoop's input
+            # format would have skipped _SUCCESS/_committed markers
+            # matched by a 'dir/*' glob, and counting their lines would
+            # silently shift every downstream _line_no/eid
             out.append(str(st.getPath()))
     return sorted(out)
 
@@ -139,9 +143,12 @@ def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     multi-file profile gets the same ``_line_no`` sequence a sequential
     reader concatenating the sorted files would produce — a bare
     ``textFile(glob)`` would inherit Hadoop's unguaranteed listStatus
-    order (round-3 advice). ``zipWithIndex`` runs one count job per
-    file plus one for the offsets — O(#files) extra driver round-trips,
-    fine for a one-time dim load."""
+    order (round-3 advice). Each per-file RDD is cached for the load:
+    ``zipWithIndex`` itself runs a size job, the offset derivation
+    another count, and the final union a third pass — without the
+    cache that is three reads of every file (review finding); with it,
+    one read plus two cached scans. O(#files) driver round-trips
+    either way — fine for a one-time dim load."""
     from bootleg_spark.sources.jsonl import parse_json_lines
 
     sc = spark.sparkContext
@@ -149,7 +156,7 @@ def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     if len(files) == 1:
         lines = sc.textFile(files[0]).zipWithIndex()
     else:
-        indexed = [sc.textFile(f).zipWithIndex() for f in files]
+        indexed = [sc.textFile(f).zipWithIndex().cache() for f in files]
         offsets = []
         total = 0
         for rdd in indexed:

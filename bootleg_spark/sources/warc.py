@@ -122,23 +122,29 @@ def _gunzip_members(b: bytes) -> tuple[bytes, int]:
     surfaces it per buffer."""
     out = []
     dropped = 0
-    while b:
+    buf = b
+    view = memoryview(buf)
+    off = 0
+    n = len(buf)
+    while off < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         try:
-            out.append(d.decompress(b))
+            out.append(d.decompress(view[off:]))
             out.append(d.flush())
         except zlib.error:
             # corrupt member: resync at the next gzip magic past this
             # position (strictly advancing, so the loop terminates; a
             # false magic inside compressed garbage just fails again
-            # and resyncs further along)
+            # and resyncs further along). Offset into a memoryview —
+            # reslicing bytes per attempt was O(n) copy per resync,
+            # quadratic on a big segment with many false magics.
             dropped += 1
-            nxt = b.find(_GZIP_MAGIC, 1)
+            nxt = buf.find(_GZIP_MAGIC, off + 1)
             if nxt < 0:
                 break
-            b = b[nxt:]
+            off = nxt
             continue
-        b = d.unused_data
+        off = n - len(d.unused_data)
     return b"".join(out), dropped
 
 
@@ -283,12 +289,21 @@ def write_warc_files(
     ``mapInPandas`` pass only gzips and appends, streaming one Arrow
     batch at a time — no partition-sized buffer in Python memory.
     Returns the manifest (path, n_records, n_bytes), one row per file;
-    the action that consumes the manifest drives the write. ``mtime=0``
-    in each member keeps output byte-deterministic for a given
-    partitioning. Size partitions upstream (``repartition(n)`` or
-    ``maxPartitionBytes``) so each file lands near the ~1 GB segment
-    size crawl tooling expects; read back with
-    :func:`read_warc_files` — file granularity then drives ingest
+    the action that consumes the manifest drives the write.
+
+    Commit protocol (a transformation with side effects must survive
+    task retries, speculation, and repeated actions without
+    duplicating data): each task writes to a dot-prefixed
+    ``.part-<pid>.warc.gz.inprogress`` temp and ``os.replace``s it to
+    the DETERMINISTIC final name ``part-<pid>.warc.gz`` only after its
+    iterator is exhausted. A retried or re-run task overwrites the
+    same file with identical bytes (``mtime=0`` per member +
+    deterministic content), never adds a second one; a task that dies
+    mid-write leaves only a hidden temp that both the ``*.warc.gz``
+    glob and binaryFile's hidden-file filter ignore. Size partitions
+    upstream (``repartition(n)`` / ``maxPartitionBytes``) so each file
+    lands near the ~1 GB segment size crawl tooling expects; read back
+    with :func:`read_warc_files` — file granularity then drives ingest
     parallelism exactly as with real Common Crawl segments."""
     import gzip
     import os
@@ -302,24 +317,37 @@ def write_warc_files(
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
+        final = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        # per-ATTEMPT temp (uuid): concurrent speculative attempts each
+        # write privately and race only on the atomic replace, where
+        # both carry identical bytes
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz.inprogress"
+        )
         n_rec = 0
         n_bytes = 0
         fh = None
-        for pdf in batches:
-            if len(pdf) and fh is None:
-                os.makedirs(out_dir, exist_ok=True)
-                fh = open(path, "wb")
-            for buf in pdf["rec"]:
-                member = gzip.compress(bytes(buf), mtime=0)
-                fh.write(member)
-                n_rec += 1
-                n_bytes += len(member)
+        try:
+            for pdf in batches:
+                if len(pdf) and fh is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(tmp, "wb")
+                for buf in pdf["rec"]:
+                    member = gzip.compress(bytes(buf), mtime=0)
+                    fh.write(member)
+                    n_rec += 1
+                    n_bytes += len(member)
+        except BaseException:
+            if fh is not None:
+                fh.close()
+                os.unlink(tmp)
+            raise
         if fh is None:
             yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
             return
         fh.close()
-        yield pd.DataFrame({"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]})
+        os.replace(tmp, final)  # atomic publish; retries overwrite in place
+        yield pd.DataFrame({"path": [final], "n_records": [n_rec], "n_bytes": [n_bytes]})
 
     return rec.mapInPandas(_write, MANIFEST_SCHEMA)
 

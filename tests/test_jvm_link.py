@@ -262,3 +262,41 @@ def test_salted_candidate_join_matches_broadcast(spark, pipe):
     a = {tuple(map(str, r)) for r in bc.select(*cols).collect()}
     b = {tuple(map(str, r)) for r in salted.select(*cols).collect()}
     assert a == b and len(a) > 0
+
+
+def test_custom_encoder_falls_back_and_relational_refuses(spark):
+    """Review regression: the relational scorer hard-codes feature-hash
+    context vectors, so a custom-encoder pipeline must NOT mix them
+    with custom-encoded entity embeddings — triples_auto falls back to
+    the fused path (outputs equal), linked_relational refuses loudly."""
+    from bootleg_spark.functions.embedding import make_mlp_encoder
+
+    mlp_pipe = KgPipeline(spark, SF_SMOKE, encoder=make_mlp_encoder(64))
+    t_f = {tuple(r) for r in mlp_pipe.triples_fused_local().collect()}
+    t_a = {tuple(r) for r in mlp_pipe.triples_auto().collect()}
+    t_h = {tuple(r) for r in mlp_pipe.triples_hybrid_jvm().collect()}
+    assert t_a == t_f  # fallback, not silent hash-vs-mlp garbage
+    assert t_h == t_f  # hybrid threads the encoder through
+    with pytest.raises(ValueError, match="custom encoder"):
+        mlp_pipe.linked_relational()
+
+
+def test_multiword_extractor_short_docs_no_crash(spark):
+    """Review regression: descending F.sequence throws when start <
+    stop, so documents shorter than min_alias_len must be filtered
+    before the window explode (Python's range just yields nothing)."""
+    from bootleg_spark.operators.mentions import (
+        extract_mentions_ngram_relational_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "new york"), (3, "x")], "doc_id long, text string"
+    )
+    adf = spark.createDataFrame([("new york",), ("spark",)], "alias string")
+    got = {
+        (r["doc_id"], r["alias"])
+        for r in extract_mentions_ngram_relational_multi(
+            df, adf, min_alias_len=2
+        ).collect()
+    }
+    assert got == {(2, "new york")}  # 1-word docs yield nothing, no crash

@@ -308,3 +308,23 @@ class TestStreamingCompat:
         assert len(rows) == 1
         assert rows[0]["clean_text"] == "mail <EMAIL> now"
         assert rows[0]["url_canon"] == "https://example.org/p?a=1"
+
+    def test_file_sink_rerun_does_not_duplicate(self, spark, tmp_path):
+        """Review regression: the sink publishes deterministic
+        part-<pid> names via temp+rename, so re-running the write (a
+        retried task, a second action) overwrites in place instead of
+        adding files."""
+        pages = synth.pages_table(spark, SF_SMOKE).repartition(2)
+        n = pages.count()
+        out_dir = str(tmp_path / "warcs")
+        m1 = warc.write_warc_files(pages, out_dir).collect()
+        m2 = warc.write_warc_files(pages, out_dir).collect()
+        assert sorted(r["path"] for r in m1) == sorted(r["path"] for r in m2)
+        import glob as _glob
+        import os as _os
+
+        files = _glob.glob(out_dir + "/*")
+        assert len([f for f in files if f.endswith(".warc.gz")]) == 2
+        assert not [f for f in files if "inprogress" in _os.path.basename(f)]
+        back = warc.read_warc_files(spark, out_dir + "/*.warc.gz")
+        assert back.count() == n  # no duplicated records
