@@ -216,3 +216,55 @@ def ngram_contamination(
         F.col("n_shingles"),
         F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("hit_frac"),
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style global line deduplication: any line occurring
+    ``min_count`` or more times across the corpus is removed from
+    EVERY document (Raffel et al. 2020 §2.2 "discarded any line that
+    occurred more than three times"); documents left with no lines
+    drop out. Returns (id, text, n_lines_kept, n_lines_dropped).
+
+    Occurrences count line INSTANCES corpus-wide (a line repeated
+    twice inside one document contributes two), matched on the
+    trimmed line. Plan shape for 100 TB: explode lines →
+    map-side-combined groupBy on xxhash64(line) for the counts → one
+    shuffle join back at line grain (hot boilerplate lines are the
+    skew case — AQE skew-join splits them; the count table is
+    corpus-sized, so no broadcast) → per-document reassembly in
+    original line order. Deterministic; exact SQL mirror in the
+    ``line_dedup`` oracle."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    ).withColumn("line", F.trim("line"))
+    lines = lines.where(F.length("line") > 0).withColumn(
+        "_h", F.xxhash64("line")
+    )
+    counts = lines.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    tagged = lines.join(counts, "_h")
+    kept = tagged.withColumn("_keep", F.col("_cnt") < min_count)
+    out = kept.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_keep"), F.struct("pos", "line")))
+        ).alias("_k"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_lines_dropped"),
+    )
+    return (
+        out.where(F.col("n_lines_kept") > 0)
+        .select(
+            "id",
+            F.array_join(
+                F.transform(F.col("_k"), lambda x: x["line"]), sep
+            ).alias("text"),
+            F.col("n_lines_kept").cast("long"),
+            F.col("n_lines_dropped").cast("long"),
+        )
+    )

@@ -328,3 +328,49 @@ class TestStreamingCompat:
         assert not [f for f in files if "inprogress" in _os.path.basename(f)]
         back = warc.read_warc_files(spark, out_dir + "/*.warc.gz")
         assert back.count() == n  # no duplicated records
+
+
+class TestLineDedup:
+    def test_c4_semantics(self, spark):
+        """Any line with ≥min_count instances corpus-wide drops from
+        every doc; within-doc repeats count as instances; docs left
+        empty disappear; survivors keep original line order."""
+        docs = _df(
+            spark,
+            [
+                (1, "unique alpha\nboiler plate\nunique beta"),
+                (2, "boiler plate\nunique gamma"),
+                (3, "boiler plate\nonly this doc"),
+                (4, "twice here\ntwice here\nunique delta"),
+                (5, "boiler plate"),  # becomes empty -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in textclean.dedup_lines_global(docs, min_count=3).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1]["text"] == "unique alpha\nunique beta"
+        assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 1)
+        assert out[2]["text"] == "unique gamma"
+        assert out[3]["text"] == "only this doc"
+        # 'twice here' has only 2 instances -> kept, order preserved
+        assert out[4]["text"] == "twice here\ntwice here\nunique delta"
+
+    def test_trim_matching_and_empty_lines(self, spark):
+        docs = _df(
+            spark,
+            [
+                (1, "  spam line \nkeep a"),
+                (2, "spam line\nkeep b"),
+                (3, "spam line  \n\nkeep c"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r["text"]
+            for r in textclean.dedup_lines_global(docs, min_count=3).collect()
+        }
+        # trimmed forms match across docs; empty lines never count
+        assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
