@@ -221,34 +221,43 @@ def ngram_contamination(
 def dedup_lines_global(
     docs: DataFrame,
     sep: str = "\n",
-    min_count: int = 3,
+    min_count: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """C4-style global line deduplication: any line occurring
     ``min_count`` or more times across the corpus is removed from
-    EVERY document (Raffel et al. 2020 §2.2 "discarded any line that
-    occurred more than three times"); documents left with no lines
-    drop out. Returns (id, text, n_lines_kept, n_lines_dropped).
+    EVERY document; documents left with no lines drop out. Returns
+    (id, text, n_lines_kept, n_lines_dropped). The default
+    ``min_count=4`` is exactly Raffel et al. 2020 §2.2 ("discarded
+    any line that occurred MORE THAN three times" — i.e. a 4th
+    instance kills the line); pass 3 for a stricter sweep.
 
     Occurrences count line INSTANCES corpus-wide (a line repeated
     twice inside one document contributes two), matched on the
-    trimmed line. Plan shape for 100 TB: explode lines →
-    map-side-combined groupBy on xxhash64(line) for the counts → one
-    shuffle join back at line grain (hot boilerplate lines are the
-    skew case — AQE skew-join splits them; the count table is
-    corpus-sized, so no broadcast) → per-document reassembly in
-    original line order. Deterministic; exact SQL mirror in the
-    ``line_dedup`` oracle."""
+    trimmed line. ``sep`` is a literal separator (regex-quoted for the
+    split, re-inserted verbatim on reassembly). Plan shape for 100 TB:
+    explode lines → map-side-combined groupBy on the line for the
+    counts → one shuffle join back at line grain (hot boilerplate
+    lines are the skew case — AQE skew-join splits them; the count
+    table is corpus-sized, so no broadcast); grouping/joining on the
+    line STRING, not a 64-bit hash — at 10^10+ distinct lines birthday
+    collisions on a long key are expected and would silently pool
+    counts of unrelated lines (for very long line units, switch to the
+    hash-propose/string-verify pattern of operators/dedup.py) →
+    per-document reassembly in original line order. Deterministic;
+    exact SQL mirror in the ``line_dedup`` oracle."""
+    import re as _re
+
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)
+        ).alias("pos", "line"),
     ).withColumn("line", F.trim("line"))
-    lines = lines.where(F.length("line") > 0).withColumn(
-        "_h", F.xxhash64("line")
-    )
-    counts = lines.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
-    tagged = lines.join(counts, "_h")
+    lines = lines.where(F.length("line") > 0)
+    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("_cnt"))
+    tagged = lines.join(counts, "line")
     kept = tagged.withColumn("_keep", F.col("_cnt") < min_count)
     out = kept.groupBy("id").agg(
         F.array_sort(

@@ -117,6 +117,10 @@ def _enumerate_input_files(sc, path: str) -> list[str]:
     statuses = fs.globStatus(hpath)
     if statuses is None or len(statuses) == 0:
         raise FileNotFoundError(path)
+    if len(statuses) == 1 and statuses[0].isFile():
+        # an explicitly named single file is honored verbatim, hidden
+        # prefix or not — the user asked for exactly that file
+        return [str(statuses[0].getPath())]
     out = []
     for st in statuses:
         if st.isDirectory():
@@ -130,6 +134,10 @@ def _enumerate_input_files(sc, path: str) -> list[str]:
             # matched by a 'dir/*' glob, and counting their lines would
             # silently shift every downstream _line_no/eid
             out.append(str(st.getPath()))
+    if not out:
+        raise FileNotFoundError(
+            f"{path}: matches only hidden/marker files (_/. prefixed)"
+        )
     return sorted(out)
 
 
@@ -143,35 +151,44 @@ def read_profile_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     multi-file profile gets the same ``_line_no`` sequence a sequential
     reader concatenating the sorted files would produce — a bare
     ``textFile(glob)`` would inherit Hadoop's unguaranteed listStatus
-    order (round-3 advice). Each per-file RDD is cached for the load:
-    ``zipWithIndex`` itself runs a size job, the offset derivation
-    another count, and the final union a third pass — without the
-    cache that is three reads of every file (review finding); with it,
-    one read plus two cached scans. O(#files) driver round-trips
-    either way — fine for a one-time dim load."""
+    order (round-3 advice). In the multi-file branch each RAW text RDD
+    is cached BEFORE ``zipWithIndex`` (whose internal size job is the
+    first read and populates the cache), the offset counts and the
+    union read the cache, and the parsed result is materialized
+    eagerly so the raw caches can be unpersisted deterministically —
+    one disk read per file total, and no RDD storage pinned after the
+    load. Eager materialization is the right trade for what this is: a
+    one-time ordered dim load."""
     from bootleg_spark.sources.jsonl import parse_json_lines
 
     sc = spark.sparkContext
     files = _enumerate_input_files(sc, path)
+    raws = []
     if len(files) == 1:
         lines = sc.textFile(files[0]).zipWithIndex()
     else:
-        indexed = [sc.textFile(f).zipWithIndex().cache() for f in files]
+        raws = [sc.textFile(f).cache() for f in files]
         offsets = []
         total = 0
-        for rdd in indexed:
+        for rdd in raws:
             offsets.append(total)
             total += rdd.count()
         lines = sc.union(
             [
-                rdd.map(lambda kv, off=off: (kv[0], kv[1] + off))
-                for rdd, off in zip(indexed, offsets)
+                rdd.zipWithIndex().map(lambda kv, off=off: (kv[0], kv[1] + off))
+                for rdd, off in zip(raws, offsets)
             ]
         )
     raw = spark.createDataFrame(lines, "value string, _line_no long")
-    return _apply_profile_defaults(
+    out = _apply_profile_defaults(
         parse_json_lines(raw, PROFILE_SCHEMA, keep_cols=("_line_no",)), "_line_no"
     )
+    if raws:
+        out = out.cache()
+        out.count()  # materialize off the raw caches, then release them
+        for rdd in raws:
+            rdd.unpersist()
+    return out
 
 
 def validate_profile(profile: DataFrame) -> DataFrame:

@@ -281,6 +281,7 @@ def write_warc_files(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
+    overwrite: bool = False,
 ) -> DataFrame:
     """Production sink: one ``.warc.gz`` file per partition, each record
     its own gzip member (Common Crawl's layout — seekable per record).
@@ -300,7 +301,13 @@ def write_warc_files(
     same file with identical bytes (``mtime=0`` per member +
     deterministic content), never adds a second one; a task that dies
     mid-write leaves only a hidden temp that both the ``*.warc.gz``
-    glob and binaryFile's hidden-file filter ignore. Size partitions
+    glob and binaryFile's hidden-file filter ignore. That re-run
+    safety holds for IDENTICAL input + partitioning only: writing a
+    different frame (or fewer partitions) into a used directory leaves
+    the old extra part files in place — pass ``overwrite=True`` to
+    clear existing ``part-*.warc.gz`` + stale temps from ``out_dir``
+    at call time (driver-side, before the action), or use a fresh
+    directory. Size partitions
     upstream (``repartition(n)`` / ``maxPartitionBytes``) so each file
     lands near the ~1 GB segment size crawl tooling expects; read back
     with :func:`read_warc_files` — file granularity then drives ingest
@@ -310,6 +317,11 @@ def write_warc_files(
     import uuid
 
     from pyspark import TaskContext
+
+    if overwrite and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".warc.gz") or name.endswith(".inprogress"):
+                os.unlink(os.path.join(out_dir, name))
 
     rec = pages.select(
         warc_record_bytes(F.col(url_col), F.col(ts_col), F.col(payload_col)).alias("rec")

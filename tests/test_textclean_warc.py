@@ -320,12 +320,14 @@ class TestStreamingCompat:
         m1 = warc.write_warc_files(pages, out_dir).collect()
         m2 = warc.write_warc_files(pages, out_dir).collect()
         assert sorted(r["path"] for r in m1) == sorted(r["path"] for r in m2)
-        import glob as _glob
         import os as _os
 
-        files = _glob.glob(out_dir + "/*")
-        assert len([f for f in files if f.endswith(".warc.gz")]) == 2
-        assert not [f for f in files if "inprogress" in _os.path.basename(f)]
+        # os.listdir, NOT glob('*'): the temps are dot-prefixed and a
+        # '*' glob skips hidden files, which made the old assertion
+        # unfalsifiable (review finding)
+        names = _os.listdir(out_dir)
+        assert len([f for f in names if f.endswith(".warc.gz")]) == 2
+        assert not [f for f in names if f.endswith(".inprogress")]
         back = warc.read_warc_files(spark, out_dir + "/*.warc.gz")
         assert back.count() == n  # no duplicated records
 
