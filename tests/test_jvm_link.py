@@ -300,3 +300,30 @@ def test_multiword_extractor_short_docs_no_crash(spark):
         ).collect()
     }
     assert got == {(2, "new york")}  # 1-word docs yield nothing, no crash
+
+
+def test_context_tokens_fuzz_against_python(spark):
+    """Randomized differential check of the context-window expression
+    against extract_context over many (length, index) shapes — the
+    fixed-case test covers the branch boundaries, this sweeps the
+    interior."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for _ in range(250):
+        n_words = rng.randint(1, 150)
+        words = [f"t{rng.randint(0, 30)}" for _ in range(n_words)]
+        text = " ".join(words)
+        idx = rng.randrange(n_words)
+        start = sum(len(w) + 1 for w in words[:idx])
+        end = start + len(words[idx])
+        rows.append((text, idx, extract_context((start, end), text, 64)))
+    df = spark.createDataFrame(rows, "text string, idx int, expected string")
+    got = df.select(
+        "expected",
+        F.concat_ws(
+            " ", jvm_link.context_tokens_expr(F.split("text", " "), F.col("idx"), 64)
+        ).alias("got"),
+    ).collect()
+    assert all(r["got"] == r["expected"] for r in got)
