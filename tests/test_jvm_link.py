@@ -327,3 +327,43 @@ def test_context_tokens_fuzz_against_python(spark):
         ).alias("got"),
     ).collect()
     assert all(r["got"] == r["expected"] for r in got)
+
+
+def test_jvm_html_extraction_fuzz_against_python(spark):
+    """Randomized differential check of the JVM extraction chain vs
+    extract_html_text over the guarded class: random nests of guarded
+    tags, comments, dropped blocks, whitespace runs, and text."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Gamma", "42", "x"]
+    tags = ["p", "b", "i", "div", "span"]
+    drop = ["script", "style", "nav", "footer", "header", "head"]
+
+    def frag(depth):
+        r = rng.random()
+        if depth > 3 or r < 0.35:
+            return " ".join(rng.choices(words, k=rng.randint(0, 4)))
+        if r < 0.5:
+            return f"<!-- {frag(depth + 1)} -->"
+        if r < 0.65:
+            d = rng.choice(drop)
+            # reference regex is case-insensitive on the tag
+            dt = d.upper() if rng.random() < 0.3 else d
+            return f"<{dt}>{frag(depth + 1)}</{dt}>"
+        t = rng.choice(tags)
+        ws = rng.choice([" ", "\t", "\n", "\r\n", ""])
+        return f"<{t}>{frag(depth + 1)}</{t}>{ws}{frag(depth + 1)}"
+
+    htmls = [frag(0).encode("utf-8") for _ in range(300)]
+    df = spark.createDataFrame([(h,) for h in htmls], "html binary")
+    got = df.select(
+        jvm_link.jvm_extractable_expr(F.col("html")).alias("ok"),
+        jvm_link.html_text_expr(F.col("html")).alias("text"),
+    ).collect()
+    n_ok = 0
+    for h, r in zip(htmls, got):
+        assert r["ok"] is True, h  # generator stays inside the guard class
+        assert r["text"] == extract_html_text(h), h
+        n_ok += 1
+    assert n_ok == 300
