@@ -112,3 +112,43 @@ def pack_token_spans(
             "pack_tok_start"
         ),
     )
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, tok_start, tok_end, chunk): overlapping
+    fixed-size token windows per document — the retrieval/RAG chunking
+    companion to :func:`pack_token_spans` (which packs ACROSS
+    documents; this windows WITHIN each one). Windows start every
+    ``stride`` tokens (default ``size``, i.e. disjoint) until the
+    start passes the end of the document; the last window may be
+    short. Pure projection + explode, shuffle-free, deterministic;
+    exact SQL mirror in the ``chunk_windows`` oracle."""
+    if stride is None:
+        stride = size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col).alias("id"), words.alias("_w"), F.size(words).alias("_n")
+    ).where(F.col("_n") > 0)
+    n_chunks = F.floor((F.col("_n") - 1) / stride) + 1
+    d = d.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    end = F.least(F.col("_n").cast("long"), start + size)
+    return d.select(
+        "id",
+        F.col("chunk_idx").cast("long"),
+        start.alias("tok_start"),
+        end.alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice(F.col("_w"), (start + 1).cast("int"), (end - start).cast("int"))
+        ).alias("chunk"),
+    )

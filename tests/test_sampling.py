@@ -71,3 +71,35 @@ def test_pack_spans_cover_every_token_exactly_once(spark):
             assert total == budget
         else:
             assert 0 < total <= budget
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    from bootleg_spark.operators.sampling import chunk_token_windows
+
+    docs = read_documents(spark, SF_SMOKE)
+    size, stride = 32, 24
+    out = chunk_token_windows(docs, size=size, stride=stride).collect()
+    n_by_doc = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in docs.select("doc_id", "text").collect()
+        if r["text"]
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = n_by_doc[doc_id]
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["tok_start"] == i * stride
+            assert c["tok_end"] == min(n, i * stride + size)
+            assert len(c["chunk"].split(" ")) == c["tok_end"] - c["tok_start"]
+        # every token position covered; consecutive windows overlap by
+        # size - stride (until the tail)
+        assert chunks[-1]["tok_end"] == n
+        assert chunks[0]["tok_start"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["tok_start"] - a["tok_start"] == stride
+            assert a["tok_end"] > b["tok_start"]  # genuine overlap
