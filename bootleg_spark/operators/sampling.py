@@ -76,25 +76,43 @@ def pack_token_spans(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(bucket, pack_id, doc_id, doc_tok_start, doc_tok_end,
-    pack_tok_start): the concatenate-and-cut packing layout.
+    """(bucket, pack_id, doc_id, [tiebreaks...], doc_tok_start,
+    doc_tok_end, pack_tok_start): the concatenate-and-cut packing
+    layout.
 
     Within ``bucket = doc_id % n_buckets``, documents are concatenated
-    in doc_id order; pack p of a bucket owns the token range
-    [p·budget, (p+1)·budget). A document whose whitespace tokens span
-    [before, before+n) emits one row per pack it overlaps, carrying
-    the in-doc token sub-span ``[doc_tok_start, doc_tok_end)`` and
-    where that sub-span starts inside the pack. Every pack is exactly
-    ``budget`` tokens except each bucket's last. Deterministic —
-    no shuffle-order dependence (the window orders by doc_id)."""
+    in ``(doc_id, *tiebreak_cols)`` order; pack p of a bucket owns the
+    token range [p·budget, (p+1)·budget). A document whose whitespace
+    tokens span [before, before+n) emits one row per pack it overlaps,
+    carrying the in-doc token sub-span ``[doc_tok_start, doc_tok_end)``
+    and where that sub-span starts inside the pack. Every pack is
+    exactly ``budget`` tokens except each bucket's last.
+
+    **Unique-key requirement**: ``(id_col, *tiebreak_cols)`` must
+    uniquely identify input rows, or the layout is both
+    order-nondeterministic and (under the SQL-default RANGE frame)
+    silently broken — tied keys are RANGE peers, so every copy's
+    cumulative sum would include all copies' tokens and packs stop
+    tiling [0, budget). The window therefore forces a ROWS frame
+    (peer-proof) and callers packing duplicated corpora — e.g.
+    :func:`mix_corpus` output, which reuses ``doc_id`` across copies —
+    must pass ``tiebreak_cols=("_copy",)`` (tested in
+    tests/test_sampling.py::test_pack_duplicate_ids). Deterministic
+    given a unique key; no shuffle-order dependence otherwise."""
     n_toks = F.size(F.split(F.col(text_col), " "))
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
+        *[F.col(c) for c in tiebreak_cols],
         n_toks.cast("long").alias("_n"),
     ).where(F.col("_n") > 0)
-    w = Window.partitionBy("bucket").orderBy("doc_id")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = d.withColumn("_before", F.sum("_n").over(w) - F.col("_n"))
     first_p = F.floor(F.col("_before") / budget)
     last_p = F.floor((F.col("_before") + F.col("_n") - 1) / budget)
@@ -104,6 +122,7 @@ def pack_token_spans(
         "bucket",
         "pack_id",
         "doc_id",
+        *tiebreak_cols,
         F.greatest(F.lit(0).cast("long"), pack_lo - F.col("_before")).alias(
             "doc_tok_start"
         ),

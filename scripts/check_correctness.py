@@ -49,6 +49,59 @@ def norm_cell(v):
     return str(v)
 
 
+# Spark simpleString dtype -> DuckDB column types that survive the
+# driver canonicalizer with IDENTICAL text form. Anything outside the
+# allowed set (HUGEINT from SUM() OVER, DECIMAL, UINTEGER promotions)
+# reaches the driver as float64/Decimal and hashes "32.0" vs Spark's
+# "32" — the r04 pack_spans failure class. norm_cell's float
+# normalizer MASKS this locally, so the lint must be structural.
+_DTYPE_ALLOWED = {
+    "tinyint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "smallint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "int": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "bigint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "float": {"FLOAT", "DOUBLE"},
+    "double": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def lint_oracle_dtypes(con, sql: str, sdf) -> list[str]:
+    """Structural dtype parity between the Spark result schema and the
+    DuckDB oracle's DESCRIBE output (by column name). Returns mismatch
+    messages; empty = clean. Catches engine type promotion (HUGEINT /
+    DECIMAL / unsigned) that the value-digest comparison cannot, since
+    the local float normalizer and the driver canonicalizer disagree on
+    exactly those cells (VERDICT r4 'What's wrong' #1)."""
+    try:
+        rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception as e:  # oracle itself broken — main loop reports it
+        return [f"describe failed: {type(e).__name__}: {str(e)[:120]}"]
+    dtypes = {r[0]: r[1].upper() for r in rows}
+    msgs = []
+    for f in sdf.schema.fields:
+        spark_t = f.dataType.simpleString()
+        duck_t = dtypes.get(f.name)
+        if duck_t is None:
+            continue  # column-set mismatch is reported by ok_cols
+        allowed = _DTYPE_ALLOWED.get(spark_t)
+        if allowed is None:
+            continue  # arrays/structs: rejected by UnhashableColumn path
+        # DECIMAL(p,s) etc. carry parameters; match on the base word
+        base = duck_t.split("(")[0].strip()
+        if base not in allowed and duck_t not in allowed:
+            msgs.append(
+                f"oracle-dtype: col '{f.name}' spark={spark_t} duckdb={duck_t}"
+                " — cast the oracle expression (driver hash would diverge)"
+            )
+    return msgs
+
+
 def digest(rows, colnames) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -92,6 +145,12 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        dtype_msgs = lint_oracle_dtypes(con, oracles[name], sdf)
+        if dtype_msgs:
+            for m in dtype_msgs:
+                print(f"FAIL {name}: {m}")
             n_fail += 1
             continue
         ok_cols = sorted(scols) == sorted(ocols)

@@ -73,6 +73,77 @@ def test_pack_spans_cover_every_token_exactly_once(spark):
             assert 0 < total <= budget
 
 
+def test_pack_duplicate_ids(spark):
+    """ADVICE r4 medium: mix_corpus output reuses doc_id across copies;
+    under the SQL-default RANGE frame, tied doc_ids were window PEERS —
+    every copy's cumsum included all copies' tokens, pack 0 vanished and
+    identical spans were emitted twice. The fix (ROWS frame + tiebreak
+    ordering) must tile every bucket's packs exactly [0, budget)."""
+    docs = read_documents(spark, SF_SMOKE).select("doc_id", "lang", "text")
+    mixed = mix_corpus(docs, {"en": 2.4, "de": 0.5, "zh": 1.0}, seed=7)
+    # the mixture genuinely contains duplicated doc_ids
+    assert mixed.groupBy("doc_id").count().where("count > 1").count() > 0
+    budget = 128
+    out = pack_token_spans(
+        mixed, budget=budget, n_buckets=8, tiebreak_cols=("_copy",)
+    ).collect()
+    # output rows are unique per (doc_id, _copy, pack) — no doubled spans
+    keys = [(r["doc_id"], r["_copy"], r["bucket"], r["pack_id"]) for r in out]
+    assert len(keys) == len(set(keys))
+    # per (doc, copy): sub-spans contiguous from 0
+    by_copy = {}
+    for r in out:
+        by_copy.setdefault((r["doc_id"], r["_copy"]), []).append(r)
+    for spans in by_copy.values():
+        spans.sort(key=lambda r: r["doc_tok_start"])
+        assert spans[0]["doc_tok_start"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_tok_end"] == b["doc_tok_start"]
+    # per bucket: pack ids start at 0 and every non-final pack tiles
+    # [0, budget) exactly — the invariant the RANGE frame broke
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r)
+    last_pack = {}
+    for (bucket, pid) in by_pack:
+        last_pack[bucket] = max(last_pack.get(bucket, -1), pid)
+    for bucket in last_pack:
+        assert (bucket, 0) in by_pack  # pack 0 exists again
+    for (bucket, pid), spans in by_pack.items():
+        spans.sort(key=lambda r: r["pack_tok_start"])
+        pos = 0
+        for r in spans:
+            assert r["pack_tok_start"] == pos
+            pos += r["doc_tok_end"] - r["doc_tok_start"]
+        if pid < last_pack[bucket]:
+            assert pos == budget
+        else:
+            assert 0 < pos <= budget
+    # determinism: the (unique-keyed) layout is identical across runs
+    again = pack_token_spans(
+        mixed, budget=budget, n_buckets=8, tiebreak_cols=("_copy",)
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_oracle_dtype_lint_catches_hugeint(spark):
+    """The r04 pack_spans failure class: DuckDB SUM() OVER promotes to
+    HUGEINT → float64 at the driver canonicalizer. The lint must reject
+    an uncast cumsum oracle and accept the CAST form."""
+    import duckdb
+
+    from scripts.check_correctness import lint_oracle_dtypes
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 10), (2, 20)) v(k, n)")
+    sdf = spark.createDataFrame([(1, 10)], "k int, before bigint")
+    bad = "SELECT k, SUM(n) OVER (ORDER BY k) - n AS before FROM t"
+    msgs = lint_oracle_dtypes(con, bad, sdf)
+    assert msgs and "HUGEINT" in msgs[0]
+    good = "SELECT k, CAST(SUM(n) OVER (ORDER BY k) - n AS BIGINT) AS before FROM t"
+    assert lint_oracle_dtypes(con, good, sdf) == []
+
+
 def test_chunk_windows_cover_and_overlap(spark):
     from bootleg_spark.operators.sampling import chunk_token_windows
 
