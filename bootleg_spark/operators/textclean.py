@@ -235,8 +235,16 @@ def dedup_lines_global(
 
     Occurrences count line INSTANCES corpus-wide (a line repeated
     twice inside one document contributes two), matched on the
-    trimmed line. ``sep`` is a literal separator (regex-quoted for the
-    split, re-inserted verbatim on reassembly). Plan shape for 100 TB:
+    TRIMMED line — but reassembly emits the ORIGINAL untrimmed line
+    text, and whitespace-only lines are treated as document structure:
+    always kept verbatim, never counted, and excluded from the
+    kept/dropped tallies (which cover content lines only). A document
+    none of whose content lines are duplicated therefore round-trips
+    byte-identically, blank lines and per-line whitespace included
+    (ADVICE r4: the first version rebuilt text from trimmed lines and
+    silently dropped blanks). ``sep`` is a literal separator
+    (regex-quoted for the split, re-inserted verbatim on reassembly).
+    Plan shape for 100 TB:
     explode lines → map-side-combined groupBy on the line for the
     counts → one shuffle join back at line grain (hot boilerplate
     lines are the skew case — AQE skew-join splits them; the count
@@ -254,16 +262,26 @@ def dedup_lines_global(
         F.posexplode(
             F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)
         ).alias("pos", "line"),
-    ).withColumn("line", F.trim("line"))
-    lines = lines.where(F.length("line") > 0)
-    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("_cnt"))
-    tagged = lines.join(counts, "line")
-    kept = tagged.withColumn("_keep", F.col("_cnt") < min_count)
+    ).withColumn("_key", F.trim("line"))
+    # count CONTENT lines only (non-blank after trim), on the trimmed
+    # key; whitespace-only lines never enter the count table
+    counts = (
+        lines.where(F.length("_key") > 0)
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    tagged = lines.join(counts, "_key", "left")  # blanks: _cnt null
+    is_content = F.col("_cnt").isNotNull()
+    kept = tagged.withColumn(
+        "_keep", ~is_content | (F.col("_cnt") < min_count)
+    ).withColumn("_content", is_content)
     out = kept.groupBy("id").agg(
         F.array_sort(
             F.collect_list(F.when(F.col("_keep"), F.struct("pos", "line")))
         ).alias("_k"),
-        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("_keep") & F.col("_content"), 1).otherwise(0)).alias(
+            "n_lines_kept"
+        ),
         F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_lines_dropped"),
     )
     return (

@@ -570,19 +570,35 @@ def materialize_triples(
     done: set[int] = set()
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
+            raw = f.readlines()
+        for idx, line in enumerate(raw):
+            if not line.strip():
+                continue
+            try:
                 rec = json.loads(line)
-                rec_layout = rec.get("layout")
-                if rec_layout != layout:
-                    raise ValueError(
-                        f"manifest {manifest_path} was written under layout "
-                        f"{rec_layout!r}, current layout is {layout!r}; "
-                        "resume would skip the wrong pages — use a fresh "
-                        "out_dir or resume=False"
-                    )
-                done.add(rec["bucket"])
+            except json.JSONDecodeError:
+                if idx == len(raw) - 1:
+                    # torn TRAILING line: the process died mid-append.
+                    # Truncate it away (so this run's append starts on
+                    # a clean line instead of concatenating onto the
+                    # garbage) and carry on — the bucket is simply not
+                    # marked done and gets recomputed; the dynamic-
+                    # partition overwrite write is idempotent so the
+                    # partial dir is replaced, never double-counted.
+                    cut = len("".join(raw[:idx]).encode())
+                    with open(manifest_path, "r+b") as tf:
+                        tf.truncate(cut)
+                    break
+                raise  # torn line MID-file = real corruption, refuse
+            rec_layout = rec.get("layout")
+            if rec_layout != layout:
+                raise ValueError(
+                    f"manifest {manifest_path} was written under layout "
+                    f"{rec_layout!r}, current layout is {layout!r}; "
+                    "resume would skip the wrong pages — use a fresh "
+                    "out_dir or resume=False"
+                )
+            done.add(rec["bucket"])
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
         return []

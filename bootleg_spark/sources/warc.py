@@ -311,13 +311,32 @@ def write_warc_files(
     upstream (``repartition(n)`` / ``maxPartitionBytes``) so each file
     lands near the ~1 GB segment size crawl tooling expects; read back
     with :func:`read_warc_files` — file granularity then drives ingest
-    parallelism exactly as with real Common Crawl segments."""
+    parallelism exactly as with real Common Crawl segments.
+
+    **Filesystem contract (ADVICE r4)**: ``out_dir`` must be a POSIX
+    path on a filesystem shared by driver and executors — local disk in
+    local mode, NFS/Lustre on a cluster. Tasks commit with
+    ``open``/``os.replace`` and the driver's ``overwrite`` cleanup uses
+    ``os.listdir``; on executor-local disks the manifest would point at
+    files the driver cannot see, and object stores have no atomic
+    rename. URI schemes (``hdfs://``, ``s3a://`` …) are rejected
+    eagerly. For distributed stores, either mount them (s3fs/fuse —
+    rename is then copy+delete, still exactly-once since retries write
+    identical bytes) or target the store's own conditional-put API in
+    place of ``os.replace``; the record/member layout is unchanged
+    either way."""
     import gzip
     import os
+    import re as _re
     import uuid
 
     from pyspark import TaskContext
 
+    if _re.match(r"^[a-z][a-z0-9+.-]*://", out_dir):
+        raise ValueError(
+            f"write_warc_files needs a shared POSIX path, got URI '{out_dir}' — "
+            "see the filesystem contract in the docstring"
+        )
     if overwrite and os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
             if name.endswith(".warc.gz") or name.endswith(".inprogress"):

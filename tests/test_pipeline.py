@@ -172,6 +172,91 @@ def test_manifest_layout_mismatch_refused(pipe, tmp_path):
         materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
 
 
+def test_manifest_kill_mid_write_resume(pipe, tmp_path, monkeypatch):
+    """Kill-mid-WRITE (VERDICT r4 ask #7): the process dies during the
+    bucketed write itself — one bucket's directory is fully on disk,
+    the other absent, and NO manifest line was appended (the manifest
+    is written only after the write action completes). Resume must
+    rewrite every unmanifested bucket via dynamic partition overwrite —
+    replacing, not appending to, the partially-written directory — and
+    restore the exact one-shot store."""
+    from bootleg_spark.sources import store
+
+    out = str(tmp_path / "kg_out")
+    real_write = store.write_buckets
+
+    def dying_write(df, path, mode="overwrite"):
+        # write ONLY bucket 0's rows, then die — the on-disk picture of
+        # a process killed after some tasks committed
+        real_write(df.where(F.col(store.BUCKET_COL) == 0), path, mode=mode)
+        raise RuntimeError("simulated kill mid-write")
+
+    # materialize_triples imports store inside the function body, so
+    # patch the module attribute itself
+    monkeypatch.setattr(store, "write_buckets", dying_write)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    monkeypatch.setattr(store, "write_buckets", real_write)
+
+    # crash picture: partial store, empty manifest
+    assert os.path.isdir(os.path.join(out, "triples", "_bucket=0"))
+    assert not os.path.isdir(os.path.join(out, "triples", "_bucket=1"))
+    assert not os.path.exists(os.path.join(out, "_manifest.jsonl"))
+
+    recs = materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    assert sorted(r["bucket"] for r in recs) == [0, 1]
+
+    # reference picture: the same materialize into a FRESH dir (dedup
+    # is per-bucket by design — the bucket is the recoverable unit — so
+    # compare store to store, not store to the globally-deduped
+    # pipe.triples())
+    clean = str(tmp_path / "kg_clean")
+    materialize_triples(pipe, clean, n_buckets=2, extractor="word", scorer="popularity")
+
+    def _store_rows(path):
+        return sorted(
+            tuple(r)
+            for r in pipe.spark.read.parquet(os.path.join(path, "triples"))
+            .select("subj", "pred", "obj")
+            .collect()
+        )
+
+    # identical INCLUDING multiplicity — the partially-written bucket
+    # was replaced by the overwrite, not appended to
+    assert _store_rows(out) == _store_rows(clean)
+
+
+def test_manifest_torn_trailing_line(pipe, tmp_path):
+    """Kill-mid-APPEND: a process dying while appending the manifest
+    leaves a torn trailing line. The loader must ignore exactly that
+    (the bucket is recomputed idempotently), while a torn line
+    mid-file — which no crash of the append-only writer can produce —
+    still refuses as corruption."""
+    out = str(tmp_path / "kg_out")
+    materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    mpath = os.path.join(out, "_manifest.jsonl")
+    lines = open(mpath).read().splitlines()
+
+    # torn trailing line: drop bucket 1's line, append half of it
+    with open(mpath, "w") as f:
+        f.write(lines[0] + "\n")
+        f.write(lines[1][: len(lines[1]) // 2])
+    recs = materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+    assert [r["bucket"] for r in recs] == [1]  # only the torn bucket redone
+    # the torn tail was truncated before the append: every line parses,
+    # both buckets are marked done, and a third run is a no-op
+    reloaded = [json.loads(x) for x in open(mpath)]
+    assert {m["bucket"] for m in reloaded} == {0, 1}
+    assert materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity") == []
+
+    # torn line mid-file = corruption, refuse
+    with open(mpath, "w") as f:
+        f.write(lines[0][: len(lines[0]) // 2] + "\n")
+        f.write(lines[1] + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        materialize_triples(pipe, out, n_buckets=2, extractor="word", scorer="popularity")
+
+
 def test_manifest_partial_resume(pipe, tmp_path):
     """Crash simulation: drop one bucket's manifest line + dir; resume
     must recompute ONLY that bucket and restore the exact store."""

@@ -374,5 +374,33 @@ class TestLineDedup:
             r["id"]: r["text"]
             for r in textclean.dedup_lines_global(docs, min_count=3).collect()
         }
-        # trimmed forms match across docs; empty lines never count
-        assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
+        # trimmed forms match across docs (so all three spam variants
+        # drop); surviving lines keep their ORIGINAL whitespace and
+        # blank lines are preserved as document structure
+        assert out == {1: "keep a", 2: "keep b", 3: "\nkeep c"}
+
+    def test_untouched_docs_roundtrip_byte_identically(self, spark):
+        """ADVICE r4: a document with no duplicated content lines must
+        come back byte-identical — per-line leading/trailing whitespace
+        and blank lines included (the first version rebuilt text from
+        trimmed lines and silently dropped blanks)."""
+        texts = [
+            "  leading ws\ntrailing ws  \n\nmid blank kept",
+            "tabs\there\n \nspaced blank line stays",
+            "plain\nlines",
+        ]
+        docs = _df(
+            spark,
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in textclean.dedup_lines_global(docs, min_count=2).collect()
+        }
+        for i, t in enumerate(texts):
+            assert out[i]["text"] == t, (i, out[i]["text"])
+            assert out[i]["n_lines_dropped"] == 0
+        # blank lines are excluded from the content tallies
+        assert out[0]["n_lines_kept"] == 3
+        assert out[1]["n_lines_kept"] == 2
