@@ -40,6 +40,14 @@ def main() -> None:
         rounds.append((tag, json.load(open(path))))
 
     names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    n_rows_only = len([k for k in names if k not in oracles])
+    # the count line COVERAGE.md's prose must quote (VERDICT r4 nit #2:
+    # the prose said "71" while the dict had 79 — emit it, don't hand-edit)
+    print(
+        f"Every `queries()` entry ({len(names)}) carries an oracle — "
+        f"{n_rows_only} rows-only entries.\n"
+    )
     print("| # | query | last driver-green | in next-round window |")
     print("|---|---|---|---|")
     stale = []
