@@ -1,0 +1,180 @@
+"""Corpus curation beyond per-document filters: per-domain caps,
+per-language quality percentiles, and TF-IDF document keywords.
+
+Engine extensions (task brief: "operations a large-scale training-data
+pipeline would need") composing with `textclean.select_training_corpus`
+— that op filters documents one at a time; these three are the
+CROSS-document curation rules every Common-Crawl recipe adds:
+
+- :func:`cap_per_domain` — "at most N pages per registered domain",
+  the standard anti-SEO-farm rule (a handful of domains dominate raw
+  crawls).
+- :func:`quality_percentile_filter` — "keep the best p% per language"
+  (absolute quality thresholds are incomparable across languages, so
+  the cut must be per-stratum).
+- :func:`tfidf_top_terms` — per-document top-k keywords by TF-IDF, the
+  classic relational form (explode → two counted aggregations → join →
+  per-doc top-k); feeds doc-level topic tagging / mixture labeling.
+
+All three have exact DuckDB mirrors (oracles ``domain_caps``,
+``quality_percentile``, ``tfidf_terms``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def registered_domain_expr(url_col: str = "url") -> F.Column:
+    """Registered domain of a URL: hostname lowercased, ``www.``
+    stripped, then the last TWO labels (``example.org``,
+    ``shop.example.co`` → ``example.co``). A faithful public-suffix
+    list is a data file, not logic — at that point swap the final
+    regex for a broadcast-joined suffix dim; the two-label fallback is
+    the standard approximation and is what the oracle mirrors."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two == "", host).otherwise(two)
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registered domain,
+    preferring higher ``quality_col`` (ties and the no-quality case
+    break by ascending id — fully deterministic). Returns
+    ``(id, domain, domain_rank)`` for the survivors.
+
+    Plan: one hash exchange on ``domain`` + an in-partition sort for
+    the ``row_number`` window — the minimal shape for an exact per-key
+    top-N. Mega-domains are the classic hot key: AQE skew-split cannot
+    help a WINDOW (the partition must be whole), so at 100 TB either
+    pre-aggregate with a bounded per-partition top-N
+    (``collect_list`` + ``slice`` after a local sort) before the
+    exchange, or accept the skew — a domain's rows are bounded by the
+    crawl's own per-domain politeness caps, which makes the hot key
+    orders of magnitude smaller than the corpus. The cap itself is
+    what REMOVES the skew for every downstream op."""
+    order = (
+        [F.col("_q").desc(), F.col("id").asc()]
+        if quality_col is not None
+        else [F.col("id").asc()]
+    )
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        registered_domain_expr(url_col).alias("domain"),
+        *([F.col(quality_col).alias("_q")] if quality_col is not None else []),
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= max_per_domain)
+        .select("id", "domain", "domain_rank")
+    )
+
+
+def quality_percentile_filter(
+    docs: DataFrame,
+    keep_frac: float,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of documents PER STRATUM (language)
+    by the textstats quality score. Exact rule: rank documents within
+    each stratum by (quality desc, id asc) and keep rows with
+    ``percent_rank ≤ keep_frac`` — deterministic, engine-identical
+    (DuckDB's percent_rank is the same (rank−1)/(n−1)). Returns
+    ``(id, stratum, quality, pr)`` with quality and pr rounded to 6.
+
+    Scale note: percent_rank needs a full per-stratum sort — fine when
+    strata are languages (dozens of partitions, each sortable), wrong
+    when strata are fine-grained. The 100-TB variant computes each
+    stratum's quality THRESHOLD with ``percentile_approx`` in one
+    aggregation (a rows-per-stratum dim), broadcasts it, and filters
+    with a scan-level comparison — no global sort; this exact form is
+    the oracle-checkable twin."""
+    from bootleg_spark.operators.textstats import quality_exprs
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    q = quality_exprs(text_col)
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        q["quality"].alias("_q"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("_q").desc(), F.col("id").asc())
+    return (
+        d.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= keep_frac)
+        .select(
+            "id",
+            "stratum",
+            F.round("_q", 6).alias("quality"),
+            F.round("pr", 6).alias("pr"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, sklearn's smooth_idf formula).
+    Terms are lowercased whitespace tokens; ties break by term asc.
+    Returns ``(id, term, tf, df, score, rank)``, score rounded to 6.
+
+    Plan: explode → (doc, term) counts (map-side partial agg) → term
+    document-frequency dim (second agg over the distinct pairs) → join
+    term stats back at pair grain → per-doc top-k window. The df dim
+    is vocabulary-sized: broadcast below ~a few GB, else the join
+    shuffles on ``term`` with AQE handling the Zipf head — and the
+    pair-grain rows carry only (id, term, tf), never the text. The
+    corpus size N rides in via one broadcast scalar row."""
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_dim = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_dim = df_dim.where(F.col("df") >= min_df)
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    scored = (
+        pairs.join(df_dim, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long"),
+            F.col("df").cast("long"),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
