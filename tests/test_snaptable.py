@@ -1,0 +1,127 @@
+"""Snapshot-manifest table layer (sources/snaptable.py): snapshot
+isolation, time travel, append, optimistic commit, stats-based file
+skipping, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootleg_spark.sources import snaptable as st
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_roundtrip_and_time_travel(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    s1 = st.write_table(docs, table)
+    assert s1["version"] == 1 and s1["total_rows"] == 100
+    assert _rows(st.read_table(spark, table)) == _rows(docs)
+
+    en = docs.where("grp = 0")
+    s2 = st.write_table(en, table, mode="overwrite")
+    assert s2["version"] == 2 and s2["parent"] == 1
+    # latest sees only the overwrite...
+    assert _rows(st.read_table(spark, table)) == _rows(en)
+    # ...and version 1 still reads in full (old files untouched)
+    assert _rows(st.read_table(spark, table, version=1)) == _rows(docs)
+
+
+def test_append_merges_files(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    st.write_table(docs.where("grp < 2"), table)
+    s2 = st.write_table(docs.where("grp >= 2"), table, mode="append")
+    assert s2["total_rows"] == 100
+    assert _rows(st.read_table(spark, table)) == _rows(docs)
+    # append refuses a different schema (no silent evolution)
+    with pytest.raises(ValueError, match="schema"):
+        st.write_table(docs.select("doc_id"), table, mode="append")
+
+
+def test_optimistic_commit_conflict(spark, docs, tmp_path):
+    """Two writers racing to the same version: the create-exclusive
+    link gives one winner; the loser re-derives the version and lands
+    on top (the retry path), and with retries exhausted raises."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)
+    # simulate a competitor owning every next version: pre-create v2..v5
+    snap = st.load_snapshot(table, 1)
+    for v in (2, 3, 4, 5):
+        with open(st._snap_path(table, v), "w") as f:
+            json.dump({**snap, "version": v, "parent": v - 1}, f)
+    # a writer with retries left lands at v6 (re-derived base each try)
+    s = st.write_table(docs.where("grp = 0"), table)
+    assert s["version"] == 6
+    # a writer that ALWAYS loses: occupy versions as fast as it derives
+    with pytest.raises(st.CommitConflict):
+        orig_link = os.link
+
+        def thief(src, dst, *a, **k):
+            # competitor wins every race: the target always exists
+            with open(dst, "w") as f:
+                f.write("{}")
+            return orig_link(src, dst, *a, **k)
+
+        os.link = thief
+        try:
+            st.write_table(docs, table)
+        finally:
+            os.link = orig_link
+
+
+def test_stats_pruning_skips_files(spark, docs, tmp_path):
+    """Files are skipped from the scan plan by footer min/max BEFORE
+    Spark sees a path — and the pruned read still returns a superset
+    of the true predicate result (Iceberg's contract)."""
+    table = str(tmp_path / "t")
+    # 10 files with disjoint doc_id ranges: repartitionByRange gives
+    # each file a tight [min, max]
+    st.write_table(docs.repartitionByRange(10, "doc_id"), table)
+    snap, all_files = st.plan_files(table)
+    assert len(all_files) == 10
+    _, pruned = st.plan_files(table, prune=("doc_id", "between", (20, 29)))
+    assert 1 <= len(pruned) <= 2  # one range file (maybe a boundary neighbor)
+    got = (
+        st.read_table(spark, table, prune=("doc_id", "between", (20, 29)))
+        .where("doc_id between 20 and 29")
+    )
+    assert _rows(got) == _rows(docs.where("doc_id between 20 and 29"))
+    # equality + string-column pruning
+    _, eq = st.plan_files(table, prune=("doc_id", "=", 55))
+    assert len(eq) == 1
+    _, s_pruned = st.plan_files(table, prune=("text", "=", "text-7"))
+    assert len(s_pruned) < 10
+    # a column with no stats entry keeps everything (conservative)
+    _, keep_all = st.plan_files(table, prune=("nonexistent_col", "=", 1))
+    assert len(keep_all) == 10
+
+
+def test_vacuum_expires_snapshots(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)                          # v1
+    st.write_table(docs.where("grp = 0"), table)         # v2 (new files)
+    st.write_table(docs.where("grp = 1"), table, mode="append")  # v3 = v2 files + new
+    deleted = st.vacuum(table, keep_versions=2)          # drop v1
+    assert deleted  # v1's files are unreferenced by v2/v3
+    with pytest.raises(FileNotFoundError):
+        st.load_snapshot(table, 1)
+    # v2 and v3 still read correctly (v3 shares v2's files — NOT deleted)
+    assert _rows(st.read_table(spark, table, version=2)) == _rows(docs.where("grp = 0"))
+    assert _rows(st.read_table(spark, table, version=3)) == _rows(docs.where("grp <= 1"))
+    # deleted files are really gone from disk
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(table, rel))
