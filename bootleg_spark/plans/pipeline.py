@@ -675,3 +675,39 @@ def materialize_triples(
         for rec in records:
             f.write(json.dumps(rec) + "\n")
     return records
+
+
+def snapshot_triples(
+    pipe: KgPipeline,
+    table: str,
+    mode: str = "overwrite",
+    extractor: str = "ngram",
+    scorer: str = "neural",
+    n_files: int = 8,
+    threshold: float | None = None,
+) -> dict:
+    """Materialize the pipeline's (subj, pred, obj) triples as a
+    committed snapshot of a snapshot-manifest graph table
+    (sources/snaptable.py) — the north-star "partitioned Iceberg graph
+    tables" shape, minus the jars.
+
+    ``repartitionByRange(n_files, "subj")`` gives every data file a
+    tight subj [min, max] in the manifest, so entity-centric reads
+    ("all triples of Q123":
+    ``snaptable.read_table(spark, table, prune=("subj", "=", qid))``)
+    open one file out of ``n_files`` — metadata-only pruning, the
+    graph-table access path that matters at 10^12 documents. Each
+    pipeline run commits a new VERSION: ``mode="overwrite"`` replaces
+    the graph (old versions stay time-travelable until vacuum),
+    ``mode="append"`` accumulates incremental crawl batches. Returns
+    the committed snapshot dict.
+
+    The bucketed-store materializer (:func:`materialize_triples`) stays
+    the mid-RUN checkpoint/resume mechanism; this is the published,
+    versioned END product of a run — the two compose (run buckets with
+    resume, snapshot the union)."""
+    from bootleg_spark.sources import snaptable as st
+
+    kwargs = {} if threshold is None else {"threshold": threshold}
+    tri = pipe.triples(extractor=extractor, scorer=scorer, **kwargs)
+    return st.write_table(tri.repartitionByRange(n_files, "subj"), table, mode=mode)

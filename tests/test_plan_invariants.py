@@ -107,3 +107,44 @@ def test_hygiene_ops_are_codegen_projections(spark):
         p = plan_of(df)
         assert "MapInPandas" not in p and "ArrowEvalPython" not in p
         assert "Exchange" not in p  # pure scan→project, shuffle-free
+
+
+def test_curation_plan_shapes(spark):
+    """The r05 curation ops keep their promised shapes: no Python
+    anywhere, no sort-merge joins, exchange counts matching the
+    docstring plan descriptions."""
+    from pyspark.sql import functions as F
+
+    from bootleg_spark.operators.curation import (
+        cap_per_domain,
+        quality_percentile_filter,
+        tfidf_top_terms,
+    )
+    from bootleg_spark.sources.synth import read_documents
+
+    docs = read_documents(spark, SF_SMOKE)
+    with_url = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 7).cast("string"), F.lit(".org/p")).alias("url"),
+        F.length("text").cast("double").alias("quality"),
+        "text",
+        "lang",
+    )
+    # domain cap: ONE hash exchange (on domain) + the window sort
+    p = plan_of(cap_per_domain(with_url, 3, quality_col="quality"))
+    assert n_nodes(p, "Exchange") == 1
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # percentile filter: ONE hash exchange (on stratum) + window
+    p = plan_of(quality_percentile_filter(docs, 0.5))
+    assert n_nodes(p, "Exchange") == 1
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    # tfidf: pair-count agg + df-dim agg + join + per-doc window; the
+    # corpus-N scalar must come in via a broadcast, the term join must
+    # not sort-merge, and partial aggregation must be present
+    df = tfidf_top_terms(docs, k=3)
+    p = plan_of(df)
+    assert "SortMergeJoin" not in p
+    assert n_nodes(p, "BroadcastExchange") >= 1  # the N scalar (+ maybe dim)
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p

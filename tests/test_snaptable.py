@@ -125,3 +125,35 @@ def test_vacuum_expires_snapshots(spark, docs, tmp_path):
     # deleted files are really gone from disk
     for rel in deleted:
         assert not os.path.exists(os.path.join(table, rel))
+
+
+def test_snapshot_triples_graph_table(spark, tmp_path):
+    """The published graph-table shape: each pipeline run commits a
+    version; subj-range data files make entity-centric reads open a
+    strict subset of files; overwrite keeps the prior graph
+    time-travelable."""
+    from bootleg_spark.plans.pipeline import KgPipeline, snapshot_triples
+    from tests.conftest import SF_SMOKE
+
+    pipe = KgPipeline(spark, SF_SMOKE)
+    table = str(tmp_path / "graph")
+    s1 = snapshot_triples(pipe, table, extractor="word", scorer="popularity", n_files=4)
+    assert s1["version"] == 1 and s1["total_rows"] > 0
+    expected = _rows(pipe.triples(extractor="word", scorer="popularity"))
+    assert _rows(st.read_table(spark, table)) == expected
+
+    # entity-centric read: prune by subj opens fewer files, same rows
+    some_subj = expected[0][0]
+    _, all_files = st.plan_files(table)
+    _, pruned = st.plan_files(table, prune=("subj", "=", some_subj))
+    assert len(all_files) == 4 and len(pruned) < len(all_files)
+    got = (
+        st.read_table(spark, table, prune=("subj", "=", some_subj))
+        .where(F.col("subj") == some_subj)
+    )
+    assert _rows(got) == sorted(t for t in expected if t[0] == some_subj)
+
+    # a second run (different scorer) commits v2; v1 stays readable
+    s2 = snapshot_triples(pipe, table, extractor="ngram", scorer="neural", n_files=4)
+    assert s2["version"] == 2
+    assert _rows(st.read_table(spark, table, version=1)) == expected
