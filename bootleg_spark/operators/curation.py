@@ -141,7 +141,11 @@ def tfidf_top_terms(
     is vocabulary-sized: broadcast below ~a few GB, else the join
     shuffles on ``term`` with AQE handling the Zipf head — and the
     pair-grain rows carry only (id, term, tf), never the text. The
-    corpus size N rides in via one broadcast scalar row."""
+    corpus size N rides in via one broadcast scalar row. Catalyst
+    additionally plans the ``rank ≤ k`` filter as ``WindowGroupLimit``
+    on BOTH sides of the final exchange (PLANS.md "TF-IDF keywords") —
+    a map-side partial top-k, so the doc-grain shuffle moves at most
+    k·(rows per upstream partition), not every (doc, term) pair."""
     pairs = (
         docs.select(
             F.col(id_col).alias("id"),
