@@ -128,6 +128,7 @@ def write_table(
     table: str,
     mode: str = "overwrite",
     max_retries: int = 3,
+    extra: dict | None = None,
 ) -> dict:
     """Write ``df``'s rows as new data files and commit a snapshot.
 
@@ -186,6 +187,7 @@ def write_table(
             "schema_json": schema_json,
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
+            **(extra or {}),
         }
         tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
@@ -203,6 +205,31 @@ def write_table(
     raise CommitConflict(
         f"lost the commit race {max_retries} times on {table} — "
         "a live writer is outpacing this one"
+    )
+
+
+def commit_stream_batch(df: DataFrame, table: str, batch_id: int) -> dict | None:
+    """Exactly-once ``foreachBatch`` sink: append ``df`` as a new
+    snapshot stamped with the Structured Streaming ``batch_id``.
+
+    A replayed micro-batch (restart after a crash between the data
+    write and the checkpoint commit) arrives with a batch_id ≤ the one
+    recorded in the table's latest snapshot — detected here and turned
+    into a no-op ``None``, so the table never double-appends. That is
+    Iceberg's streaming-sink idempotence contract (snapshot summary
+    carries the epoch id); it assumes ONE streaming writer per table —
+    interleave other writers and the monotonic check is void (same
+    restriction as Iceberg's single-committer-per-stream). The batch's
+    data must itself be replay-deterministic, which Structured
+    Streaming guarantees for replayable sources."""
+    try:
+        last = load_snapshot(table).get("stream_batch_id")
+    except FileNotFoundError:
+        last = None
+    if last is not None and batch_id <= last:
+        return None  # replayed batch — already committed
+    return write_table(
+        df, table, mode="append", extra={"stream_batch_id": batch_id}
     )
 
 

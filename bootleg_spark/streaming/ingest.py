@@ -108,6 +108,40 @@ def merge_new_triples(
     return touched
 
 
+def start_snapshot_triple_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    checkpoint: str,
+    dims: dict,
+    schema,
+    trigger_available_now: bool = True,
+):
+    """Incremental triple materializer publishing to the
+    snapshot-manifest graph table (sources/snaptable.py) instead of the
+    bucketed store: every micro-batch appends ONE committed snapshot
+    stamped with its batch_id, so a replayed batch after a crash
+    between commit and checkpoint is detected and skipped
+    (``commit_stream_batch``) — exactly-once at the table level, with
+    the whole history time-travelable. The bucketed-store variant
+    (:func:`start_triple_stream`) dedups at ROW grain (content
+    anti-join); this one dedups at BATCH grain, which is the cheap and
+    sufficient rule when the source is replay-deterministic."""
+    from bootleg_spark.sources import snaptable as st
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        st.commit_stream_batch(triples_for_batch(batch, dims), table, batch_id)
+
+    writer = (
+        stream_pages(spark, src_dir, schema)
+        .writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_triple_stream(
     spark: SparkSession,
     src_dir: str,

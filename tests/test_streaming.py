@@ -190,3 +190,50 @@ def test_linked_pipeline_runs_as_streaming_query(spark, tmp_path):
         for r in pipe.linked_fused(spark.read.parquet(src)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_snapshot_stream_exactly_once(spark, tmp_path):
+    """Streaming commits to the snapshot table: each micro-batch is one
+    version stamped with its batch_id; a restart reprocesses nothing,
+    a simulated batch REPLAY (crash between commit and checkpoint) is
+    detected by the batch-id watermark and skipped."""
+    from bootleg_spark.sources import snaptable as st
+    from bootleg_spark.streaming.ingest import start_snapshot_triple_stream
+
+    dims = synth.build_dims(spark, SF_SMOKE)
+    docs = dims["documents"].select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(src + "/part1")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(src + "/part2")
+
+    q = start_snapshot_triple_stream(spark, src + "/*", table, ckpt, dims, docs.schema)
+    q.awaitTermination(300)
+
+    expected = {tuple(r) for r in triples_for_batch(docs, dims).collect()}
+    got = {
+        tuple(r)
+        for r in st.read_table(spark, table).select("subj", "pred", "obj").collect()
+    }
+    assert got == expected and len(got) > 0
+    v_after = st.latest_version(table)
+    last_batch = st.load_snapshot(table)["stream_batch_id"]
+
+    # restart with the same checkpoint: no new input → no new versions
+    q2 = start_snapshot_triple_stream(spark, src + "/*", table, ckpt, dims, docs.schema)
+    q2.awaitTermination(300)
+    assert st.latest_version(table) == v_after
+
+    # simulated replay of an already-committed batch → no-op, no version
+    replayed = st.commit_stream_batch(
+        triples_for_batch(docs.limit(3), dims), table, last_batch
+    )
+    assert replayed is None
+    assert st.latest_version(table) == v_after
+    # ...while a genuinely NEW batch commits the next version
+    s = st.commit_stream_batch(
+        triples_for_batch(docs.limit(3), dims), table, last_batch + 1
+    )
+    assert s is not None and s["version"] == v_after + 1
