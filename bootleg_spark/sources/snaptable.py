@@ -123,6 +123,32 @@ def _file_stats(path: str) -> dict:
     return {"rows": md.num_rows, "stats": stats}
 
 
+def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+    """Executor-parallel parquet write into a private staging dir, then
+    driver-side move to write-once unique names under ``data/`` with
+    footer stats lifted into manifest entries. Files written here are
+    INVISIBLE until some snapshot references them — an abandoned write
+    leaves only orphans for vacuum, never a corrupt table."""
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(os.path.join(table, SNAP_DIR), exist_ok=True)
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(staging)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, name), final)
+        entry = {"path": os.path.relpath(final, table)}
+        entry.update(_file_stats(final))
+        new_files.append(entry)
+    for name in os.listdir(staging):  # leftovers (_SUCCESS etc.)
+        os.unlink(os.path.join(staging, name))
+    os.rmdir(staging)
+    return new_files
+
+
 def write_table(
     df: DataFrame,
     table: str,
@@ -144,25 +170,7 @@ def write_table(
     append base from the winner's snapshot before retrying."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    data_dir = os.path.join(table, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(os.path.join(table, SNAP_DIR), exist_ok=True)
-
-    staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(staging)
-    new_files = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.replace(os.path.join(staging, name), final)
-        entry = {"path": os.path.relpath(final, table)}
-        entry.update(_file_stats(final))
-        new_files.append(entry)
-    # staging leftovers (_SUCCESS etc.)
-    for name in os.listdir(staging):
-        os.unlink(os.path.join(staging, name))
-    os.rmdir(staging)
+    new_files = _write_data_files(df, table)
 
     schema_json = df.schema.json()
     for _ in range(max_retries):
@@ -287,6 +295,72 @@ def read_table(
             [], StructType.fromJson(json.loads(snap["schema_json"]))
         )
     return spark.read.parquet(*files)
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_rows: int = 1_000_000,
+    max_retries: int = 3,
+) -> dict | None:
+    """Bin-pack small data files into ~``target_rows`` files and commit
+    the result as a new snapshot — Iceberg's rewrite_data_files,
+    the answer to the small-files problem that per-batch streaming
+    commits accumulate (every ``commit_stream_batch`` adds a file; a
+    year of micro-batches is 10^5 files whose open/plan overhead
+    eventually dwarfs the data).
+
+    Rewrites ONLY files with fewer than ``target_rows`` rows; row
+    content is unchanged (same rows, fewer files) so readers see no
+    data difference, and the PRE-compaction snapshot still
+    time-travels to the original files until vacuum. Concurrency: the
+    commit loop re-derives the latest snapshot each attempt and
+    re-bases (latest files − compacted + new); if a concurrent
+    overwrite/compaction removed any of the planned files, the
+    compaction aborts with ``None`` rather than resurrecting them.
+    Returns the committed snapshot, or None when there is nothing to
+    do (fewer than two small files) or the base moved underneath."""
+    snap = load_snapshot(table)
+    small = [f for f in snap["files"] if f["rows"] < target_rows]
+    if len(small) < 2:
+        return None
+    total = sum(f["rows"] for f in small)
+    n_out = max(1, -(-total // target_rows))  # ceil
+    paths = [os.path.join(table, f["path"]) for f in small]
+    new_files = _write_data_files(
+        spark.read.parquet(*paths).coalesce(n_out), table
+    )
+    small_set = {f["path"] for f in small}
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        base = load_snapshot(table, base_version)
+        base_paths = {f["path"] for f in base["files"]}
+        if not small_set <= base_paths:
+            return None  # a concurrent writer dropped some planned file
+        files = [f for f in base["files"] if f["path"] not in small_set] + new_files
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "compact",
+            "schema": base["schema"],
+            "schema_json": base["schema_json"],
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "compacted": sorted(small_set),
+        }
+        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap_out, f)
+        try:
+            os.link(tmp, _snap_path(table, version))
+            os.unlink(tmp)
+            return snap_out
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+    raise CommitConflict(f"compaction lost the commit race {max_retries} times on {table}")
 
 
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:

@@ -157,3 +157,36 @@ def test_snapshot_triples_graph_table(spark, tmp_path):
     s2 = snapshot_triples(pipe, table, extractor="ngram", scorer="neural", n_files=4)
     assert s2["version"] == 2
     assert _rows(st.read_table(spark, table, version=1)) == expected
+
+
+def test_compaction_binpacks_small_files(spark, docs, tmp_path):
+    """Streaming-style appends leave many small files; compact() must
+    merge them into ~target_rows files with identical row content, keep
+    big files untouched, preserve pre-compaction time travel, and let
+    vacuum reclaim the originals."""
+    table = str(tmp_path / "t")
+    # one big file + five 20-row appends (the small-files picture)
+    st.write_table(docs.coalesce(1), table)                    # v1: 100 rows
+    for g in range(5):
+        st.write_table(docs.where(F.col("grp") == g).coalesce(1), table, mode="append")
+    pre = st.load_snapshot(table)
+    assert len(pre["files"]) == 6 and pre["total_rows"] == 200
+    big = {f["path"] for f in pre["files"] if f["rows"] >= 50}
+
+    s = st.compact(spark, table, target_rows=50)
+    assert s is not None and s["mode"] == "compact"
+    post = st.load_snapshot(table)
+    # 5×20 small rows → ceil(100/50)=2 files; the big file untouched
+    assert len(post["files"]) == 3
+    assert big <= {f["path"] for f in post["files"]}
+    assert post["total_rows"] == 200
+    # identical rows (multiplicity included)
+    assert _rows(st.read_table(spark, table)) == _rows(
+        st.read_table(spark, table, version=pre["version"])
+    )
+    # nothing left to compact → no-op
+    assert st.compact(spark, table, target_rows=50) is None
+    # vacuum to the compacted snapshot reclaims the original smalls
+    deleted = st.vacuum(table, keep_versions=1)
+    assert set(deleted) >= set(s["compacted"])
+    assert _rows(st.read_table(spark, table)) != [] and st.latest_version(table) == post["version"]
