@@ -1,0 +1,91 @@
+"""Graph-consumer queries over the materialized (subj, pred, obj)
+triples — what users DO with the KG this engine builds.
+
+Engine extensions (the reference stops at emitting triples; its
+consumers — relation-extraction eval, graph embedding prep — start
+from exactly these access patterns):
+
+- :func:`khop_neighborhood` — BFS out to ``k`` hops from a seed set,
+  returning every reached entity with its minimum hop distance. The
+  iterative frontier form (k driver rounds of join + anti-join) is the
+  scalable shape: per round one broadcast-or-shuffle join at frontier
+  grain, `localCheckpoint` per round so the logical plan stays O(1)
+  instead of O(k) (driver-side analysis grew ~4×/round without it —
+  round-2 lesson in dup_clusters). Walk enumeration (the oracle's
+  recursive CTE) would be exponential in k at graph scale.
+- :func:`degree_stats` — per-entity out/in/total degree, the first
+  screen for hub entities (which are also the skew keys every
+  downstream join must respect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_neighborhood(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid, hop): every entity reachable from ``seeds`` (a one-column
+    ``qid`` frame, hop 0) following edges subj→obj in at most ``k``
+    hops, labeled with its MINIMUM hop. BFS invariant: a node enters
+    ``visited`` the first round it is reached, and the anti-join keeps
+    later (longer) arrivals out — so ``hop`` is the true shortest
+    distance, cycles terminate for free, and each round's join touches
+    only the current frontier."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    visited = seeds.select(F.col("qid")).distinct().withColumn(
+        "hop", F.lit(0).cast("long")
+    )
+    frontier = visited
+    edges = triples.select(
+        F.col(subj_col).alias("_s"), F.col(obj_col).alias("_o")
+    )
+    for h in range(1, k + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("qid").alias("_s")).distinct(), "_s"
+            )
+            .select(F.col("_o").alias("qid"))
+            .distinct()
+            .join(visited.select("qid"), "qid", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint()  # cut lineage: plan stays O(1) per round
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def degree_stats(
+    triples: DataFrame,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid, out_deg, in_deg, total_deg): per-entity edge counts —
+    hub detection, and the skew map for every qid-keyed join
+    downstream. Two map-side-combined aggregations + one full outer
+    join at entity grain (entity cardinality ≪ edge cardinality)."""
+    out_d = triples.groupBy(F.col(subj_col).alias("qid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = triples.groupBy(F.col(obj_col).alias("qid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "qid", "full_outer")
+        .select(
+            "qid",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+        .withColumn("total_deg", (F.col("out_deg") + F.col("in_deg")).cast("long"))
+    )

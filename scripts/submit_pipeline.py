@@ -40,6 +40,14 @@ def main() -> None:
     records = materialize_triples(pipe, out_dir, n_buckets=n_buckets, resume=True)
     done = sum(r["pages"] for r in records)
     print(f"materialized {len(records)} bucket(s), {done} pages -> {out_dir}")
+
+    # publish the run as a committed version of the snapshot-manifest
+    # graph table (the "partitioned Iceberg graph tables" end product;
+    # old versions stay time-travelable)
+    from bootleg_spark.plans.pipeline import snapshot_triples
+
+    snap = snapshot_triples(pipe, f"{out_dir}/graph_table")
+    print(f"published graph table v{snap['version']}: {snap['total_rows']} triples")
     spark.stop()
 
 
