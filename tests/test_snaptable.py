@@ -190,3 +190,55 @@ def test_compaction_binpacks_small_files(spark, docs, tmp_path):
     deleted = st.vacuum(table, keep_versions=1)
     assert set(deleted) >= set(s["compacted"])
     assert _rows(st.read_table(spark, table)) != [] and st.latest_version(table) == post["version"]
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of
+    overwrite/append/compact/vacuum must keep every retained version's
+    read equal to an in-memory model of the table history — the
+    invariant that makes the layer trustworthy, not any single op."""
+    import random
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("grp")
+    ).cache()
+    base.count()
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        model: dict[int, list] = {}  # version -> sorted rows
+        latest_rows: list = []
+        for _step in range(12):
+            op = rng.choice(["overwrite", "append", "append", "compact", "vacuum"])
+            lo = rng.randrange(0, 380)
+            hi = lo + rng.randrange(1, 40)
+            piece = base.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            piece_rows = sorted(tuple(r) for r in piece.collect())
+            if op == "overwrite":
+                s = st.write_table(piece.coalesce(rng.randrange(1, 4)), table)
+                latest_rows = piece_rows
+                model[s["version"]] = latest_rows
+            elif op == "append":
+                if not model:
+                    continue
+                s = st.write_table(piece.coalesce(1), table, mode="append")
+                latest_rows = sorted(latest_rows + piece_rows)
+                model[s["version"]] = latest_rows
+            elif op == "compact":
+                if not model:
+                    continue
+                s = st.compact(spark, table, target_rows=60)
+                if s is not None:
+                    model[s["version"]] = latest_rows  # rows unchanged
+            else:  # vacuum
+                if len(model) < 2:
+                    continue
+                keep = rng.randrange(1, len(model) + 1)
+                st.vacuum(table, keep_versions=keep)
+                for v in sorted(model)[:-keep]:
+                    del model[v]
+            # invariant: every retained version reads exactly its model
+            for v, want in model.items():
+                got = sorted(tuple(r) for r in st.read_table(spark, table, version=v).collect())
+                assert got == want, (seed, _step, op, v, len(got), len(want))
