@@ -246,3 +246,41 @@ def build_entity_string(
             if ent_w in title_pieces and ent_w not in STOP_WORDS:
                 title_spans.append(e_id)
     return ent_str, title_spans, over_type_len, over_kg_len
+
+
+def word_spans_to_char_spans(text: str, spans: list) -> list[list[int]]:
+    """Word spans → char spans on arbitrary-whitespace text — the
+    reference's get_char_spans (utils/preprocessing/
+    convert_to_char_spans.py:34-62) re-derived: words are maximal runs
+    of non-``str.isspace()`` characters (NOT the regex ``\\S`` class,
+    which disagrees on a few control characters); span ``[w0, w1)``
+    maps to [first char of word w0, last char of word w1-1 + 1).
+    Pure function — called from the Arrow-batched UDF in
+    sources/sentences.py, never per-row from the JVM."""
+    starts: list[int] = []
+    ends: list[int] = []
+    prev_space = True
+    for i, c in enumerate(text):
+        if c.isspace():
+            prev_space = True
+        else:
+            if prev_space:
+                starts.append(i)
+                ends.append(i + 1)
+                prev_space = False
+            else:
+                ends[-1] = i + 1
+    out = []
+    for w0, w1 in spans:
+        if not (0 <= w0 < w1 <= len(starts)):
+            raise ValueError(f"span [{w0},{w1}) outside {len(starts)} words")
+        out.append([starts[w0], ends[w1 - 1]])
+    return out
+
+
+def char_span_to_word_span(text: str, char_start: int, char_end: int) -> list[int]:
+    """Char span → word span, exactly the reference's backwards-compat
+    formula (mention_extractor_utils.py:202):
+    ``[len(text[:start].split()), len(text[:end].split())]`` — i.e.
+    whitespace-split word counts of the prefixes."""
+    return [len(text[:char_start].split()), len(text[:char_end].split())]

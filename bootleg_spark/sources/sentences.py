@@ -206,3 +206,38 @@ def sentences_to_mentions(sents: DataFrame, use_weak_label: bool = True) -> Data
             .withColumn("alias_idx", (F.row_number().over(w) - 1).cast("long"))
         )
     return out
+
+
+# module-level for the pandas_udf below: with `from __future__ import
+# annotations` the hint strings resolve against MODULE globals — a
+# function-local import fails with UNSUPPORTED_SIGNATURE
+import pandas as pd  # noqa: E402
+
+
+def sentences_add_char_spans(
+    df: DataFrame, text_col: str = "sentence", spans_col: str = "spans"
+) -> DataFrame:
+    """The reference's convert_to_char_spans preprocessing CLI
+    (utils/preprocessing/convert_to_char_spans.py:34-88) as ONE
+    Arrow-batched projection: word ``spans`` over arbitrary-whitespace
+    ``text`` become ``char_spans`` ([start, end) character offsets,
+    words = maximal non-isspace runs). The reference shells a
+    multiprocessing pool over JSONL lines; here the same pure function
+    (functions/textproc.word_spans_to_char_spans, differential-fuzzed
+    against a transcription of the reference algorithm) rides a pandas
+    UDF — no shuffle, no driver loop."""
+    from bootleg_spark.functions.textproc import word_spans_to_char_spans
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def _conv(text: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for t, sp in zip(text, spans):
+            # Arrow hands list cells as numpy arrays: len(), never truthiness
+            if t is None or sp is None or len(sp) == 0:
+                out.append([])
+                continue
+            word_spans = [[int(s[0]), int(s[1])] for s in sp]
+            out.append(word_spans_to_char_spans(t, word_spans))
+        return pd.Series(out)
+
+    return df.withColumn("char_spans", _conv(F.col(text_col), F.col(spans_col)))

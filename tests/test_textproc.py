@@ -119,3 +119,65 @@ def test_entity_strings_multi_system_requires_named_system(spark):
     # naming a system works
     out = entity_strings(ents, kg, entity_types=types, type_system="wiki").collect()
     assert len(out) == 1
+
+
+def test_word_char_span_conversion_fuzz():
+    """word_spans_to_char_spans vs a direct transcription of the
+    reference's char2word/word2char algorithm
+    (convert_to_char_spans.py:44-62), over texts with tabs, newlines,
+    multi-space runs and leading/trailing whitespace; plus the
+    backwards-compat round trip through the reference's char→word
+    prefix-split formula (mention_extractor_utils.py:202)."""
+    import random
+
+    from bootleg_spark.functions.textproc import (
+        char_span_to_word_span,
+        word_spans_to_char_spans,
+    )
+
+    def reference_model(text, spans):
+        from collections import defaultdict
+
+        word_i, prev_is_space = 0, True
+        word2char = defaultdict(list)
+        for char_i, c in enumerate(text):
+            if c.isspace():
+                if not prev_is_space:
+                    word_i += 1
+                    prev_is_space = True
+            else:
+                prev_is_space = False
+                word2char[word_i].append(char_i)
+        return [
+            [min(word2char[s[0]]), max(word2char[s[1] - 1]) + 1] for s in spans
+        ]
+
+    rng = random.Random(99)
+    pieces = ["word", "a", "Xy9", "ünïcode", "p.q", ""]
+    seps = [" ", "  ", "\t", "\n", " \t ", " "]  # NBSP is isspace
+    for _ in range(500):
+        n = rng.randrange(1, 9)
+        text = seps[rng.randrange(len(seps))] if rng.random() < 0.3 else ""
+        words = 0
+        for i in range(n):
+            w = pieces[rng.randrange(len(pieces) - 1)]  # skip ""
+            text += w
+            words += 1
+            text += seps[rng.randrange(len(seps))]
+        if rng.random() < 0.5:
+            text = text.rstrip()
+        spans = []
+        for _s in range(rng.randrange(1, 4)):
+            w0 = rng.randrange(0, words)
+            w1 = rng.randrange(w0 + 1, words + 1)
+            spans.append([w0, w1])
+        got = word_spans_to_char_spans(text, spans)
+        assert got == reference_model(text, spans), (text, spans)
+        # round trip (str.split == isspace-run words)
+        for (w0, w1), (cl, cr) in zip(spans, got):
+            assert char_span_to_word_span(text, cl, cr) == [w0, w1], (text, spans)
+    # out-of-range span raises instead of mis-mapping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        word_spans_to_char_spans("one two", [[0, 3]])
