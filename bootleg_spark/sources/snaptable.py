@@ -134,15 +134,25 @@ def _write_data_files(df: DataFrame, table: str) -> list[dict]:
     os.makedirs(os.path.join(table, SNAP_DIR), exist_ok=True)
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(staging)
-    new_files = []
+    finals = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
         final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
         os.replace(os.path.join(staging, name), final)
-        entry = {"path": os.path.relpath(final, table)}
-        entry.update(_file_stats(final))
-        new_files.append(entry)
+        finals.append(final)
+    # footer reads are tiny I/O-bound metadata fetches; a thread pool
+    # keeps the driver-side stats lift from serializing over thousands
+    # of files on a slow store (Iceberg does this in its executors —
+    # the further step if even threaded driver reads become the wall)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(finals)))) as ex:
+        stats = list(ex.map(_file_stats, finals))
+    new_files = [
+        {"path": os.path.relpath(final, table), **st}
+        for final, st in zip(finals, stats)
+    ]
     for name in os.listdir(staging):  # leftovers (_SUCCESS etc.)
         os.unlink(os.path.join(staging, name))
     os.rmdir(staging)
