@@ -253,3 +253,116 @@ def embedding_near_pairs(
         .where(F.col("cos_sim") >= threshold)
     )
     return scored.select("id_a", "id_b", "cos_sim")
+
+
+def build_ivf_table(
+    spark,
+    emb: DataFrame,
+    table: str,
+    n_cells: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize an IVF vector INDEX AS TABLE LAYOUT: vectors are
+    cell-assigned (same Lloyd centroids + tie rules as :func:`ivf_topk`)
+    and written as a snapshot-manifest table range-partitioned on
+    ``cell`` — each data file then carries a tight cell [min, max] in
+    the manifest, and the centroids themselves ride in the snapshot
+    metadata. A top-k query (:func:`ivf_table_topk`) picks its probe
+    cells from the broadcast-small centroid list and opens ONLY the
+    files whose cell range intersects, via metadata — the
+    LanceDB/Iceberg-vector access pattern: at 10^9 vectors a 1-probe
+    query reads ~1/n_cells of the data and ZERO bytes of the rest,
+    without any serving infrastructure beyond the table."""
+    from bootleg_spark.sources import snaptable as st
+
+    cents = ivf_centroids(emb, n_cells, n_iter, id_col, vec_col)
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["cv"]]) for r in cents.collect()
+    )
+    df = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cell").cast("long")
+    ).repartitionByRange(n_cells, "cell", id_col)
+    return st.write_table(
+        df,
+        table,
+        extra={"ivf": {"n_cells": n_cells, "centroids": cent_rows}},
+    )
+
+
+def ivf_table_topk(
+    spark,
+    table: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors over a :func:`build_ivf_table` table,
+    reading only probed cells' files. Query vectors are the ids <
+    ``n_queries`` (the suite's fixed protocol); their probe cells come
+    from the snapshot's centroid metadata, scored DRIVER-side in numpy
+    (queries are few by definition; the centroid list is
+    broadcast-small by construction). ``n_probe = n_cells`` reads
+    everything and reproduces :func:`cosine_topk_bruteforce` exactly
+    (same rounding and tie rules — pytest + the shared driver oracle
+    pin it); smaller ``n_probe`` trades recall for opening
+    ~``n_probe/n_cells`` of the files."""
+    import numpy as np
+
+    from bootleg_spark.sources import snaptable as st
+
+    snap = st.load_snapshot(table)
+    meta = snap["ivf"]
+    cells = [c for c, _ in meta["centroids"]]
+    C = np.array([v for _, v in meta["centroids"]], dtype=float)
+    cn = np.linalg.norm(C, axis=1)
+
+    qrows = (
+        st.read_table(spark, table)
+        .where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_rows = []
+    probe_cells: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(list(r[vec_col]), dtype=float)
+        # same formula + tie rule as _assign_to_centroids: rounded-6
+        # cosine desc, cell asc
+        sims = np.round(C @ qv / (cn * np.linalg.norm(qv)), 6)
+        order = sorted(range(len(cells)), key=lambda i: (-sims[i], cells[i]))
+        pcs = [int(cells[i]) for i in order[:n_probe]]
+        probe_cells.update(pcs)
+        for c in pcs:
+            probe_rows.append((int(r[id_col]), [float(x) for x in r[vec_col]], c))
+
+    _, files = st.plan_files(table, prune=("cell", "in", sorted(probe_cells)))
+    cand = spark.read.parquet(*files).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell long"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
+    )

@@ -261,6 +261,8 @@ def _overlaps(lo, hi, op: str, value) -> bool:
     if op == "between":
         vlo, vhi = value
         return lo <= vhi and hi >= vlo
+    if op == "in":  # value: iterable of candidates (IVF probe sets etc.)
+        return any(lo <= v <= hi for v in value)
     raise ValueError(f"unsupported prune op {op!r}")
 
 

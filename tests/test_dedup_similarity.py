@@ -159,3 +159,46 @@ def test_winnowing_guarantee_and_short_doc_fallback(spark):
     assert by_doc[0] & by_doc[1]
     # short doc still fingerprints (global-min fallback), exactly one fp
     assert len(by_doc[2]) == 1
+
+
+def test_ivf_table_layout_prunes_and_matches(spark, tmp_path):
+    """The IVF index-as-table-layout: full probe reproduces the exact
+    brute-force rows through the table; 1-probe opens a strict subset
+    of data files (manifest stats pruning on the cell column) and only
+    returns neighbors from probed cells."""
+    from bootleg_spark.sources import snaptable as st
+
+    df = _emb_df(spark)
+    table = str(tmp_path / "vecs")
+    snap = similarity.build_ivf_table(spark, df, table, n_cells=4)
+    assert snap["ivf"]["n_cells"] == 4 and len(snap["ivf"]["centroids"]) <= 4
+    n_files = len(snap["files"])
+    assert n_files >= 2  # range partitioning really split the cells
+
+    exact = sorted(
+        map(tuple, similarity.cosine_topk_bruteforce(df, n_queries=4, k=5).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            similarity.ivf_table_topk(spark, table, n_queries=4, k=5, n_probe=4).collect(),
+        )
+    )
+    assert full == exact
+
+    # 1-probe: fewer files opened than the table holds
+    one = similarity.ivf_table_topk(spark, table, n_queries=4, k=5, n_probe=1)
+    rows = one.collect()
+    assert len(rows) > 0
+    # every neighbor's cell must be a probed cell for its query
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in st.read_table(spark, table).select("vec_id", "cell").collect()
+    }
+    # probe cells per query = the query vector's own cell at n_probe=1
+    for r in rows:
+        assert cell_of[r["neighbor_id"]] == cell_of[r["query_id"]]
+    # pruning evidence: a single cell's file set is smaller than all
+    some_cell = cell_of[0]
+    _, pruned = st.plan_files(table, prune=("cell", "in", [some_cell]))
+    assert len(pruned) < n_files
