@@ -199,3 +199,47 @@ def recall_at_k(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nonnull, n_distinct, min_str, max_str): the
+    per-column data-quality screen every ingest runs before trusting a
+    new table — null coverage, exact cardinality, value ranges
+    (rendered as strings so one tidy schema covers all column types).
+
+    ONE aggregation computes every column's stats in a single input
+    scan; the multiple exact count-distincts compile to Catalyst's
+    Expand (one row per distinct-column per input row) + a single
+    shuffle — the standard exact plan. At 10^12 rows swap the exact
+    distincts for ``approx_count_distinct`` (HLL, no Expand blow-up):
+    same code path, one argument — the exact form is the
+    oracle-checkable twin."""
+    names = cols or df.columns
+    aggs = []
+    for c in names:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__nn"),
+            F.countDistinct(col).alias(f"{c}__nd"),
+            F.min(col).cast("string").alias(f"{c}__mn"),
+            F.max(col).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__rows").cast("long").alias("n_rows"),
+                        F.col(f"{c}__nn").cast("long").alias("n_nonnull"),
+                        F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                        F.col(f"{c}__mn").alias("min_str"),
+                        F.col(f"{c}__mx").alias("max_str"),
+                    )
+                    for c in names
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")

@@ -95,3 +95,25 @@ def test_strip_nan_array(spark):
         [([[float("nan")], [2.0]],)], "xs array<array<double>>"
     ).select(strip_nan_array2("xs").alias("xs"))
     assert [list(a) for a in df2.first()["xs"]] == [[None], [2.0]]
+
+
+def test_profile_columns_nulls_and_cardinality(spark):
+    from bootleg_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "b", None), (4, None, 7.5)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for r in got.values():
+        assert r["n_rows"] == 4
+    assert (got["id"]["n_nonnull"], got["id"]["n_distinct"]) == (4, 4)
+    assert (got["s"]["n_nonnull"], got["s"]["n_distinct"]) == (3, 2)
+    assert (got["v"]["n_nonnull"], got["v"]["n_distinct"]) == (2, 2)
+    assert got["id"]["min_str"] == "1" and got["id"]["max_str"] == "4"
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["v"]["min_str"] == "5.0" and got["v"]["max_str"] == "7.5"
+    # column subset
+    sub = profile_columns(df, cols=["s"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "s"
