@@ -710,4 +710,20 @@ def snapshot_triples(
 
     kwargs = {} if threshold is None else {"threshold": threshold}
     tri = pipe.triples(extractor=extractor, scorer=scorer, **kwargs)
-    return st.write_table(tri.repartitionByRange(n_files, "subj"), table, mode=mode)
+    # north-rule lineage: the snapshot records what produced it; the
+    # write/commit throughput is stamped by write_table itself (inside
+    # the manifest BEFORE the atomic publish — committed snapshots are
+    # write-once and never edited after the fact)
+    return st.write_table(
+        tri.repartitionByRange(n_files, "subj"),
+        table,
+        mode=mode,
+        extra={
+            "lineage": {
+                "sf_dir": pipe.sf_dir,
+                "extractor": extractor,
+                "scorer": scorer,
+                "threshold": threshold,
+            }
+        },
+    )

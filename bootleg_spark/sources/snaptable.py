@@ -178,9 +178,13 @@ def write_table(
     to write-once unique names, lifts their footer stats, and runs the
     optimistic commit loop. A lost race re-derives the version AND the
     append base from the winner's snapshot before retrying."""
+    import time as _time
+
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    t0 = _time.time()
     new_files = _write_data_files(df, table)
+    write_secs = round(_time.time() - t0, 3)
 
     schema_json = df.schema.json()
     for _ in range(max_retries):
@@ -205,6 +209,16 @@ def write_table(
             "schema_json": schema_json,
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
+            # write-throughput metrics for the NEW files (north-rule:
+            # metrics live in the manifest) — stamped before the atomic
+            # publish, never edited after
+            "write_seconds": write_secs,
+            "new_rows": sum(f["rows"] for f in new_files),
+            "rows_per_sec": (
+                round(sum(f["rows"] for f in new_files) / write_secs, 2)
+                if write_secs > 0
+                else None
+            ),
             **(extra or {}),
         }
         tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")

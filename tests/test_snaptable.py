@@ -242,3 +242,28 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             for v, want in model.items():
                 got = sorted(tuple(r) for r in st.read_table(spark, table, version=v).collect())
                 assert got == want, (seed, _step, op, v, len(got), len(want))
+
+
+def test_snapshot_carries_lineage_and_metrics(spark, tmp_path):
+    """North-rule: lineage + throughput metrics live in the manifest.
+    Every committed snapshot stamps write_seconds / new_rows /
+    rows_per_sec, and snapshot_triples adds run provenance."""
+    from bootleg_spark.plans.pipeline import KgPipeline, snapshot_triples
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("x y").alias("text")
+    )
+    table = str(tmp_path / "t")
+    s = st.write_table(docs, table)
+    assert s["write_seconds"] > 0 and s["new_rows"] == 50
+    assert s["rows_per_sec"] > 0
+
+    pipe = KgPipeline(spark, SF_SMOKE)
+    g = snapshot_triples(pipe, str(tmp_path / "graph"), extractor="word", scorer="popularity")
+    lin = g["lineage"]
+    assert lin["sf_dir"] == SF_SMOKE
+    assert (lin["extractor"], lin["scorer"]) == ("word", "popularity")
+    # durably in the manifest, not just the returned dict
+    reread = st.load_snapshot(str(tmp_path / "graph"))
+    assert reread["lineage"] == lin and reread["write_seconds"] > 0
