@@ -340,6 +340,13 @@ def ivf_table_topk(
         for c in pcs:
             probe_rows.append((int(r[id_col]), [float(x) for x in r[vec_col]], c))
 
+    if not probe_rows:
+        # no query vectors (no id < n_queries) → every file would be
+        # pruned and spark.read.parquet(*[]) errors; the correct result
+        # is simply empty (ADVICE r05)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
     _, files = st.plan_files(table, prune=("cell", "in", sorted(probe_cells)))
     cand = spark.read.parquet(*files).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

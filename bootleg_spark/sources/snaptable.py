@@ -104,16 +104,31 @@ def _file_stats(path: str) -> dict:
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            s = col.statistics
-            if s is None or not s.has_min_max:
+            try:
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                mn, mx = s.min, s.max
+            except Exception:
+                # pyarrow can't extract stats for some physical types
+                # (e.g. Spark's INT96 timestamps raise
+                # ArrowNotImplementedError) — skip, no-prune fallback
                 continue
             name = col.path_in_schema
-            mn, mx = s.min, s.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            # the manifest is JSON: only JSON-native stat types survive
+            # the round trip (pyarrow hands back datetime/date/Decimal
+            # objects for timestamp/date/decimal columns — json.dump
+            # would crash the whole commit). Unstatted columns already
+            # fall back to conservative no-prune, so skipping is safe;
+            # timestamp pruning goes through hidden partitioning
+            # (days(col)) instead, which stores JSON-native ints.
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                continue
             cur = stats.get(name)
             if cur is None:
                 stats[name] = [mn, mx]
@@ -253,11 +268,18 @@ def commit_stream_batch(df: DataFrame, table: str, batch_id: int) -> dict | None
     interleave other writers and the monotonic check is void (same
     restriction as Iceberg's single-committer-per-stream). The batch's
     data must itself be replay-deterministic, which Structured
-    Streaming guarantees for replayable sources."""
-    try:
-        last = load_snapshot(table).get("stream_batch_id")
-    except FileNotFoundError:
-        last = None
+    Streaming guarantees for replayable sources.
+
+    The watermark is the MAX ``stream_batch_id`` across all retained
+    snapshots, not just the latest: a maintenance commit (compact also
+    carries the key forward, but e.g. a manual overwrite would not)
+    must never reset the replay guard — losing it would let a replayed
+    micro-batch double-append silently (ADVICE r05 medium)."""
+    last = None
+    for v in _list_versions(table):
+        b = load_snapshot(table, v).get("stream_batch_id")
+        if b is not None and (last is None or b > last):
+            last = b
     if last is not None and batch_id <= last:
         return None  # replayed batch — already committed
     return write_table(
@@ -376,6 +398,12 @@ def compact(
             "total_rows": sum(f["rows"] for f in files),
             "compacted": sorted(small_set),
         }
+        # carry the streaming replay watermark through maintenance: a
+        # compaction between a stream commit and its checkpoint must
+        # not erase the batch-id guard, or the replayed batch would
+        # double-append (exactly-once contract, ADVICE r05 medium)
+        if base.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = base["stream_batch_id"]
         tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             json.dump(snap_out, f)
@@ -389,28 +417,60 @@ def compact(
     raise CommitConflict(f"compaction lost the commit race {max_retries} times on {table}")
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_versions: int = 1, orphan_grace_seconds: float = 3600.0
+) -> list[str]:
     """Drop snapshots older than the newest ``keep_versions`` and
     delete data files no retained snapshot references. Returns deleted
     file paths. Time travel reaches only retained versions afterwards —
-    the Iceberg expire-snapshots contract."""
+    the Iceberg expire-snapshots contract.
+
+    Also sweeps TRUE orphans: files under ``data/`` referenced by NO
+    snapshot at all (abandoned writes — a commit loop that lost the
+    race ``max_retries`` times, or a crash between ``_write_data_files``
+    and the commit leave staged-then-moved files that no manifest ever
+    named; ADVICE r05). Those never age out via snapshot expiry, so
+    without this sweep they leak forever. An ``orphan_grace_seconds``
+    mtime threshold protects in-flight commits (files already moved to
+    ``data/`` whose snapshot is about to be published) — Iceberg's
+    remove_orphan_files has the identical ``older_than`` guard."""
+    import time as _time
+
     versions = _list_versions(table)
-    if len(versions) <= keep_versions:
-        return []
-    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
-    referenced = set()
-    for v in keep:
+    deleted: list[str] = []
+    if len(versions) > keep_versions:
+        keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+        referenced = set()
+        for v in keep:
+            for entry in load_snapshot(table, v)["files"]:
+                referenced.add(entry["path"])
+        for v in drop:
+            for entry in load_snapshot(table, v)["files"]:
+                rel = entry["path"]
+                if rel not in referenced:
+                    full = os.path.join(table, rel)
+                    if os.path.exists(full):
+                        os.unlink(full)
+                    deleted.append(rel)
+                    referenced.add(rel)  # don't double-delete across drops
+            os.unlink(_snap_path(table, v))
+    # orphan sweep: anything in data/ no RETAINED snapshot references
+    # and old enough that no in-flight commit can still be about to
+    # reference it
+    retained_refs = set()
+    for v in _list_versions(table):
         for entry in load_snapshot(table, v)["files"]:
-            referenced.add(entry["path"])
-    deleted = []
-    for v in drop:
-        for entry in load_snapshot(table, v)["files"]:
-            rel = entry["path"]
-            if rel not in referenced:
-                full = os.path.join(table, rel)
-                if os.path.exists(full):
-                    os.unlink(full)
-                deleted.append(rel)
-                referenced.add(rel)  # don't double-delete across drops
-        os.unlink(_snap_path(table, v))
+            retained_refs.add(entry["path"])
+    data_dir = os.path.join(table, "data")
+    now = _time.time()
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            rel = os.path.join("data", name)
+            full = os.path.join(data_dir, name)
+            if rel in retained_refs or not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < orphan_grace_seconds:
+                continue  # possibly an in-flight commit's file
+            os.unlink(full)
+            deleted.append(rel)
     return deleted

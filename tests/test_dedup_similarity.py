@@ -202,3 +202,15 @@ def test_ivf_table_layout_prunes_and_matches(spark, tmp_path):
     some_cell = cell_of[0]
     _, pruned = st.plan_files(table, prune=("cell", "in", [some_cell]))
     assert len(pruned) < n_files
+
+
+def test_ivf_table_topk_no_queries_returns_empty(spark, tmp_path):
+    """ADVICE r05 low: with no row satisfying id < n_queries the probe
+    set is empty — must return an empty typed frame, not crash on
+    spark.read.parquet() with zero paths."""
+    df = _emb_df(spark)
+    table = str(tmp_path / "vecs")
+    similarity.build_ivf_table(spark, df, table, n_cells=4)
+    out = similarity.ivf_table_topk(spark, table, n_queries=0, k=5, n_probe=1)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+    assert out.count() == 0

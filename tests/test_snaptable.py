@@ -267,3 +267,64 @@ def test_snapshot_carries_lineage_and_metrics(spark, tmp_path):
     # durably in the manifest, not just the returned dict
     reread = st.load_snapshot(str(tmp_path / "graph"))
     assert reread["lineage"] == lin and reread["write_seconds"] > 0
+
+
+def test_compact_preserves_stream_watermark(spark, docs, tmp_path):
+    """ADVICE r05 medium: a compaction between a stream commit and its
+    checkpoint must not erase the batch-id watermark — a replayed
+    micro-batch after the compaction must still be a no-op."""
+    table = str(tmp_path / "t")
+    small = docs.where("grp = 0").coalesce(1)
+    assert st.commit_stream_batch(small, table, batch_id=0) is not None
+    assert st.commit_stream_batch(small, table, batch_id=1) is not None
+    snap = st.compact(spark, table, target_rows=1_000_000)
+    assert snap is not None and snap["mode"] == "compact"
+    assert snap["stream_batch_id"] == 1  # carried through maintenance
+    n_before = st.read_table(spark, table).count()
+    # crash-replay of batch 1 AFTER the compaction: must be a no-op
+    assert st.commit_stream_batch(small, table, batch_id=1) is None
+    assert st.read_table(spark, table).count() == n_before
+    # genuinely new batch still lands
+    assert st.commit_stream_batch(small, table, batch_id=2) is not None
+    assert st.read_table(spark, table).count() == n_before + small.count()
+
+
+def test_vacuum_sweeps_unreferenced_orphans(spark, docs, tmp_path):
+    """Files referenced by NO snapshot (abandoned commit) are swept by
+    vacuum once past the grace age — and in-flight-age files are not."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)
+    data_dir = os.path.join(table, "data")
+    old_orphan = os.path.join(data_dir, "orphan-old.parquet")
+    new_orphan = os.path.join(data_dir, "orphan-new.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as f:
+            f.write(b"PAR1junk")
+    past = os.path.getmtime(old_orphan) - 7200
+    os.utime(old_orphan, (past, past))
+    deleted = st.vacuum(table, keep_versions=5)  # no snapshot expiry due
+    assert deleted == [os.path.join("data", "orphan-old.parquet")]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(new_orphan)  # inside grace window: kept
+    # referenced files untouched
+    assert st.read_table(spark, table).count() == 100
+
+
+def test_json_unsafe_footer_stats_skipped(spark, tmp_path):
+    """ADVICE r05 low: timestamp/date/decimal footer stats are not
+    JSON-native — the commit must skip them (no-prune fallback), not
+    crash in json.dump."""
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.timestamp_seconds(F.col("id") * 86400 + 1_600_000_000).alias("ts"),
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+    )
+    table = str(tmp_path / "t")
+    snap = st.write_table(df, table)  # would TypeError before the fix
+    for entry in snap["files"]:
+        assert "ts" not in entry["stats"] and "dec" not in entry["stats"]
+        assert "id" in entry["stats"]  # JSON-native stats still lifted
+    # unstatted column conservatively never prunes
+    _, files = st.plan_files(table, prune=("ts", ">=", "2099-01-01"))
+    assert len(files) == len(snap["files"])
+    assert st.read_table(spark, table).count() == 10
