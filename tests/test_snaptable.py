@@ -328,3 +328,25 @@ def test_json_unsafe_footer_stats_skipped(spark, tmp_path):
     _, files = st.plan_files(table, prune=("ts", ">=", "2099-01-01"))
     assert len(files) == len(snap["files"])
     assert st.read_table(spark, table).count() == 10
+
+
+def test_executor_side_stats_lift_matches_driver(spark, docs, tmp_path, monkeypatch):
+    """A many-file commit lifts footer stats executor-side
+    (mapInPandas); the manifest must be identical to the driver-thread
+    path's (same stats, same order)."""
+    many = docs.repartition(40, "doc_id")  # > default driver max of 32
+    monkeypatch.setenv("SNAPTABLE_DRIVER_STATS_MAX", "32")
+    t_exec = str(tmp_path / "t_exec")
+    s_exec = st.write_table(many, t_exec)
+    monkeypatch.setenv("SNAPTABLE_DRIVER_STATS_MAX", "100000")
+    t_drv = str(tmp_path / "t_drv")
+    s_drv = st.write_table(many, t_drv)
+    assert len(s_exec["files"]) == len(s_drv["files"]) > 32
+    # file names are uuids — compare the lifted stats content pairwise
+    # after aligning by the (deterministic) per-file min doc_id
+    key = lambda e: e["stats"].get("doc_id", [None])[0]
+    for a, b in zip(
+        sorted(s_exec["files"], key=key), sorted(s_drv["files"], key=key)
+    ):
+        assert a["rows"] == b["rows"] and a["stats"] == b["stats"]
+    assert _rows(st.read_table(spark, t_exec)) == _rows(docs)
