@@ -52,15 +52,19 @@ def cap_per_domain(
     ``(id, domain, domain_rank)`` for the survivors.
 
     Plan: one hash exchange on ``domain`` + an in-partition sort for
-    the ``row_number`` window — the minimal shape for an exact per-key
-    top-N. Mega-domains are the classic hot key: AQE skew-split cannot
-    help a WINDOW (the partition must be whole), so at 100 TB either
-    pre-aggregate with a bounded per-partition top-N
-    (``collect_list`` + ``slice`` after a local sort) before the
-    exchange, or accept the skew — a domain's rows are bounded by the
-    crawl's own per-domain politeness caps, which makes the hot key
-    orders of magnitude smaller than the corpus. The cap itself is
-    what REMOVES the skew for every downstream op."""
+    the ``row_number`` window. Mega-domain hot keys are ALREADY
+    bounded here on Spark ≥ 3.5: Catalyst plans the ``rank ≤ N``
+    filter as ``WindowGroupLimit`` in partial mode BEFORE the exchange
+    (verified in the physical plan — PLANS.md "domain cap"), i.e. each
+    map partition ships at most N rows per domain, so the hot domain's
+    reduce partition holds ≤ N·(map partitions) rows no matter how
+    many rows the domain has. That is exactly the "bounded
+    per-partition top-N pre-aggregation" an engine without the rule
+    would need by hand — see :func:`cap_per_domain_salted` for the
+    explicit two-phase form (parity-pinned; measured SLOWER here
+    because it duplicates what the optimizer already does, BENCH.md
+    "domain-cap skew"). The cap itself is what removes the skew for
+    every downstream op."""
     order = (
         [F.col("_q").desc(), F.col("id").asc()]
         if quality_col is not None
@@ -74,6 +78,68 @@ def cap_per_domain(
     w = Window.partitionBy("domain").orderBy(*order)
     return (
         d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= max_per_domain)
+        .select("id", "domain", "domain_rank")
+    )
+
+
+def cap_per_domain_salted(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """Row-identical to :func:`cap_per_domain`, executed as an
+    EXPLICIT two-phase exact top-N (VERDICT r05 ask #6).
+
+    Finding (BENCH.md "domain-cap skew"): on Spark ≥ 3.5 this form is
+    redundant — Catalyst's ``WindowGroupLimit`` rule already runs a
+    map-side partial top-N before the one-window form's exchange, so
+    the hot domain's reduce partition is bounded at N·(map partitions)
+    and the one-window plan measured FASTER (7.2 s vs 8.3–9.2 s on a
+    24M-row, 96%-one-domain corpus). Keep this variant for engines /
+    plan shapes where the rule doesn't fire (it requires a top-level
+    ``row_number ≤ k`` filter directly over the window) or when
+    N·(map partitions) itself is too large for one reducer — the salt
+    splits even that residual. Mechanics:
+
+    1. **Phase 1** ranks within ``(domain, salt)`` where
+       ``salt = pmod(hash(id), S)`` — the exchange key carries the
+       salt, so the hot domain spreads over ``S`` reducers, each
+       ranking ~1/S of it. Keeping per-salt rank ≤ N leaves at most
+       ``S·N`` survivors per domain (the global top-N is a subset of
+       the per-salt top-Ns — same deterministic order both phases).
+    2. **Phase 2** re-ranks the ≤ ``S·N``-row survivors per domain —
+       a bounded partition no matter how hot the key was — and keeps
+       rank ≤ N. Ranks equal the one-phase form's exactly (parity
+       pytest + the shared driver oracle pin it).
+
+    Cost: one extra (tiny, survivor-grain) exchange. Use this form
+    when the corpus is URL-keyed but NOT crawl-politeness-bounded
+    (link aggregators, wikis); the one-window form stays the cheaper
+    default for crawls, whose per-domain row counts are bounded by
+    the crawler's own politeness caps."""
+    order = (
+        [F.col("_q").desc(), F.col("id").asc()]
+        if quality_col is not None
+        else [F.col("id").asc()]
+    )
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        registered_domain_expr(url_col).alias("domain"),
+        *([F.col(quality_col).alias("_q")] if quality_col is not None else []),
+    ).withColumn("_salt", F.pmod(F.hash(F.col("id")), F.lit(salt)))
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    survivors = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= max_per_domain)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2).cast("long"))
         .where(F.col("domain_rank") <= max_per_domain)
         .select("id", "domain", "domain_rank")
     )

@@ -29,6 +29,22 @@ What it reproduces, and how it maps onto the real thing:
   against simple predicates BEFORE Spark ever sees a path, so a
   selective read of a 10^12-row table opens only the files whose
   range intersects — metadata-only pruning, no data I/O for misses.
+- **Hidden partitioning.** :func:`write_table` takes a partition spec
+  of Iceberg transforms (``days(warc_ts)``, ``bucket(url, N)``,
+  identity — SURVEY §4's pruning story); the transform column exists
+  only during the write, each data file records its partition values
+  in the manifest, and :func:`plan_files` prunes raw-column
+  predicates through the transform — composed (AND) with the footer
+  stats.
+- **Copy-on-write row-level DELETE.** :func:`delete_rows` rewrites
+  only the stats-pruned files that actually contain matching rows
+  (detected in one pushed-down scan grouped by ``input_file_name``),
+  carries every untouched file into the new snapshot, and aborts on
+  concurrent-writer conflicts — Iceberg's CoW delete, the
+  takedown/GDPR path.
+- **Schema evolution on append.** Appends may ADD columns (drops and
+  retypes rejected); reads align every file to the snapshot schema
+  with null backfill for pre-evolution files.
 
 The engine's own bucketed stores (sources/store.py) stay as-is — this
 layer is the general table-format seam; ``materialize_triples``-style
@@ -138,6 +154,132 @@ def _file_stats(path: str) -> dict:
     return {"rows": md.num_rows, "stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms)
+# ---------------------------------------------------------------------------
+#
+# A partition spec is a list of dicts {"name", "col", "transform"[, "n"]}
+# stored in every snapshot. Transforms are applied to SOURCE columns at
+# write time to derive the layout — the derived value is never a data
+# column (readers never see or filter on it), which is exactly Iceberg's
+# "hidden partitioning": queries filter on `warc_ts`, the layout prunes
+# on `days(warc_ts)`, and nobody can write the Hive mistake of
+# forgetting the partition predicate. SURVEY §4 names `days(warc_ts)`
+# and `bucket(url)` as this table's pruning story.
+#
+# Transforms:
+#   days   — UTC epoch days from a timestamp (monotonic: range ops prune)
+#   bucket — md5-based hash bucket (engine-portable, reproducible in
+#            plain Python/DuckDB unlike Spark's murmur3 `hash()`; only
+#            `=` / `in` prune — hashing is not monotonic)
+#   identity — the raw value
+
+_MONOTONIC_TRANSFORMS = {"days", "identity"}
+
+
+def _norm_partition_spec(partition_by) -> list[dict]:
+    spec = []
+    for p in partition_by or []:
+        if isinstance(p, str):
+            p = (p,)
+        col = p[0]
+        tr = p[1] if len(p) > 1 else "identity"
+        entry = {"col": col, "transform": tr}
+        if tr == "bucket":
+            entry["n"] = int(p[2])
+            entry["name"] = f"{col}_bucket"
+        elif tr == "days":
+            entry["name"] = f"{col}_day"
+        elif tr == "identity":
+            entry["name"] = col
+        else:
+            raise ValueError(f"unknown partition transform {tr!r}")
+        spec.append(entry)
+    return spec
+
+
+def _transform_expr(spec: dict):
+    """The Spark column computing a partition value at WRITE time."""
+    from pyspark.sql import functions as F
+
+    col, tr = spec["col"], spec["transform"]
+    if tr == "days":
+        # timestamp → double is epoch seconds in UTC regardless of the
+        # session timezone (internal representation), so the derived
+        # day is deterministic across engines and sessions
+        return F.floor(F.col(col).cast("double") / F.lit(86400.0)).cast("long")
+    if tr == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(spec["n"]),
+        )
+    return F.col(col)
+
+
+def _transform_value(spec: dict, value):
+    """The SAME transform applied to a query-side literal, in plain
+    Python — must agree exactly with :func:`_transform_expr`."""
+    tr = spec["transform"]
+    if tr == "days":
+        import datetime as _dt
+
+        if isinstance(value, str):
+            v = value.strip()
+            try:
+                value = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                value = _dt.datetime.strptime(v[:10], "%Y-%m-%d")
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=_dt.timezone.utc)
+            return int(value.timestamp() // 86400)
+        if isinstance(value, _dt.date):
+            return (value - _dt.date(1970, 1, 1)).days
+        return int(float(value) // 86400)  # epoch seconds
+    if tr == "bucket":
+        import hashlib
+
+        return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % spec["n"]
+    return value
+
+
+def _partition_keeps(spec: dict, pv, op: str, value) -> bool:
+    """Can a file whose partition value is ``pv`` contain a row
+    matching ``col op value``? Conservative: unknown → keep."""
+    if pv is None:
+        return True
+    tr = spec["transform"]
+    if op in ("=",):
+        return pv == _transform_value(spec, value)
+    if op == "in":
+        return pv in {_transform_value(spec, v) for v in value}
+    if tr not in _MONOTONIC_TRANSFORMS:
+        return True  # bucket can't prune ranges
+    if op == ">=":
+        return pv >= _transform_value(spec, value)
+    if op == "<=":
+        return pv <= _transform_value(spec, value)
+    if op == "between":
+        vlo, vhi = value
+        return _transform_value(spec, vlo) <= pv <= _transform_value(spec, vhi)
+    return True
+
+
+def _parse_part_dir(name: str):
+    """``name=value`` path component → (name, typed value)."""
+    key, _, raw = name.partition("=")
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return key, None
+    try:
+        return key, int(raw)
+    except ValueError:
+        from urllib.parse import unquote
+
+        return key, unquote(raw)
+
+
 def _lift_stats(spark: SparkSession | None, finals: list[str]) -> list[dict]:
     """Footer row-count + min/max stats for every final data file.
 
@@ -185,33 +327,89 @@ def _lift_stats(spark: SparkSession | None, finals: list[str]) -> list[dict]:
     return [by_path[p] for p in finals]
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+def _write_data_files(
+    df: DataFrame, table: str, partition_spec: list[dict] | None = None
+) -> list[dict]:
     """Executor-parallel parquet write into a private staging dir, then
     driver-side move to write-once unique names under ``data/`` with
     footer stats lifted into manifest entries. Files written here are
     INVISIBLE until some snapshot references them — an abandoned write
-    leaves only orphans for vacuum, never a corrupt table."""
+    leaves only orphans for vacuum, never a corrupt table.
+
+    With a ``partition_spec``, the hidden transform columns are derived
+    just for the write (``partitionBy`` fans each task's rows out into
+    one file per partition value and strips the derived column from the
+    data files), and each manifest entry records its partition values —
+    the layout is invisible to readers except through
+    :func:`plan_files` pruning."""
     data_dir = os.path.join(table, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(os.path.join(table, SNAP_DIR), exist_ok=True)
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(staging)
-    finals = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.replace(os.path.join(staging, name), final)
-        finals.append(final)
+    if partition_spec:
+        hidden = [f"__pt_{s['name']}" for s in partition_spec]
+        out = df
+        for h, s in zip(hidden, partition_spec):
+            out = out.withColumn(h, _transform_expr(s))
+        out.write.mode("error").partitionBy(*hidden).parquet(staging)
+    else:
+        df.write.mode("error").parquet(staging)
+
+    finals: list[str] = []
+    partitions: list[dict | None] = []
+
+    def _walk(d: str, values: dict) -> None:
+        for name in sorted(os.listdir(d)):
+            full = os.path.join(d, name)
+            if os.path.isdir(full) and "=" in name:
+                key, val = _parse_part_dir(name)
+                _walk(full, {**values, key.removeprefix("__pt_"): val})
+            elif name.endswith(".parquet"):
+                final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+                os.replace(full, final)
+                finals.append(final)
+                partitions.append(values or None)
+
+    _walk(staging, {})
     stats = _lift_stats(df.sparkSession, finals)
-    new_files = [
-        {"path": os.path.relpath(final, table), **st}
-        for final, st in zip(finals, stats)
-    ]
-    for name in os.listdir(staging):  # leftovers (_SUCCESS etc.)
-        os.unlink(os.path.join(staging, name))
-    os.rmdir(staging)
+    new_files = []
+    for final, st, pv in zip(finals, stats, partitions):
+        entry = {"path": os.path.relpath(final, table), **st}
+        if pv is not None:
+            entry["partition"] = pv
+        new_files.append(entry)
+    # remove leftovers (_SUCCESS, emptied partition dirs)
+    import shutil
+
+    shutil.rmtree(staging)
     return new_files
+
+
+def _check_append_schema(base: dict, df_schema) -> None:
+    """Append-time schema rule (Iceberg add-column evolution): the
+    incoming schema must contain every existing column with an
+    identical type; NEW columns are allowed (the snapshot schema
+    becomes the union, and readers align old files to it with null
+    backfill — see :func:`read_table`). Dropping or retyping a column
+    on append is still rejected: that is an overwrite/migration."""
+    from pyspark.sql.types import StructType
+
+    base_schema = StructType.fromJson(json.loads(base["schema_json"]))
+    new_fields = {f.name: f.dataType for f in df_schema.fields}
+    for f in base_schema.fields:
+        if f.name not in new_fields:
+            raise ValueError(
+                f"append schema drops column {f.name!r} — appends may only "
+                "ADD columns (Iceberg add-column evolution); overwrite or "
+                "migrate explicitly"
+            )
+        if new_fields[f.name] != f.dataType:
+            raise ValueError(
+                f"append schema retypes column {f.name!r} "
+                f"({f.dataType.simpleString()} → "
+                f"{new_fields[f.name].simpleString()}) — type promotion is "
+                "out of scope; overwrite or migrate explicitly"
+            )
 
 
 def write_table(
@@ -220,6 +418,7 @@ def write_table(
     mode: str = "overwrite",
     max_retries: int = 3,
     extra: dict | None = None,
+    partition_by: list | None = None,
 ) -> dict:
     """Write ``df``'s rows as new data files and commit a snapshot.
 
@@ -227,6 +426,18 @@ def write_table(
     files. ``mode="append"``: new files plus every file of the current
     latest snapshot. Either way no existing file is touched — that is
     what makes old versions readable. Returns the committed snapshot.
+
+    ``partition_by`` declares a hidden-partitioning spec, e.g.
+    ``[("warc_ts", "days"), ("url", "bucket", 16)]`` (SURVEY §4's
+    pruning story): data files are laid out one-per-partition-value and
+    the values recorded per file in the manifest, so
+    :func:`plan_files` prunes on raw-column predicates without the
+    caller ever naming the transform. Appends inherit the table's
+    spec; passing a different one is an error.
+
+    Appends may ADD columns (Iceberg schema evolution): the snapshot
+    schema becomes the union and readers null-backfill old files; drops
+    and retypes are rejected (see :func:`_check_append_schema`).
 
     The data write itself goes through Spark (executors write parquet
     in parallel into a staging dir); the driver then moves the files
@@ -237,8 +448,22 @@ def write_table(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spec = _norm_partition_spec(partition_by) if partition_by else None
+    base0_version = latest_version(table)
+    if mode == "append" and base0_version is not None:
+        base0 = load_snapshot(table, base0_version)
+        base_spec = base0.get("partition_spec")
+        if spec is None:
+            spec = base_spec  # appends inherit the table's layout
+        elif spec != base_spec:
+            raise ValueError(
+                "append partition_by differs from the table's spec — "
+                "partition evolution on append is not supported; overwrite "
+                "with the new spec instead"
+            )
+        _check_append_schema(base0, df.schema)
     t0 = _time.time()
-    new_files = _write_data_files(df, table)
+    new_files = _write_data_files(df, table, spec)
     write_secs = round(_time.time() - t0, 3)
 
     schema_json = df.schema.json()
@@ -247,12 +472,7 @@ def write_table(
         files = list(new_files)
         if mode == "append" and base_version is not None:
             base = load_snapshot(table, base_version)
-            if base["schema_json"] != schema_json:
-                raise ValueError(
-                    "append schema differs from the table's — schema "
-                    "evolution is out of scope for this layer; overwrite "
-                    "or migrate explicitly"
-                )
+            _check_append_schema(base, df.schema)
             files = base["files"] + files
         version = (base_version or 0) + 1
         snap = {
@@ -262,6 +482,7 @@ def write_table(
             "mode": mode,
             "schema": df.schema.simpleString(),
             "schema_json": schema_json,
+            **({"partition_spec": spec} if spec else {}),
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
             # write-throughput metrics for the NEW files (north-rule:
@@ -327,6 +548,135 @@ def commit_stream_batch(df: DataFrame, table: str, batch_id: int) -> dict | None
     )
 
 
+def delete_rows(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    prune: tuple[str, str, object] | None = None,
+    max_retries: int = 3,
+) -> dict | None:
+    """Copy-on-write row-level DELETE (Iceberg's copy-on-write mode —
+    the first real-table capability a production corpus hits:
+    takedowns, GDPR erasure). ``condition`` is a SQL boolean expression
+    over the table's columns; rows matching it are removed from the
+    NEW snapshot. Old snapshots still time-travel to the original
+    files until :func:`vacuum`.
+
+    Scale shape (VERDICT r05 ask #3):
+
+    1. **Metadata prune**: ``prune`` (same ``(col, op, value)`` grammar
+       as :func:`plan_files`) cuts candidate files via manifest stats
+       before any data I/O — a targeted delete on a 10^12-row table
+       opens only the files whose range can match.
+    2. **Touch detection**: one scan of the candidates, predicate
+       pushed down, grouped by ``input_file_name()`` — yields the
+       (small) set of files that actually contain matching rows and
+       the per-file match counts. Files with zero matches are carried
+       into the new snapshot UNTOUCHED (no rewrite amplification).
+    3. **Rewrite**: only touched files are re-read and rewritten minus
+       matching rows (executor-parallel, same write path as any
+       commit).
+    4. **Commit**: optimistic loop re-derives the base each attempt;
+       if a concurrent writer dropped any touched file (overwrite /
+       compaction / another delete), this delete ABORTS with ``None``
+       rather than resurrecting stale data — same contract as
+       :func:`compact`.
+
+    Returns the committed snapshot, or ``None`` when no row matches or
+    the base moved underneath. The streaming replay watermark is
+    carried forward (deletes are maintenance, not new batches).
+
+    On a partitioned table the rewrite happens per partition group
+    (touched files of one partition value rewritten together) so the
+    new files keep valid partition values in the manifest."""
+    snap0, cand_paths = plan_files(table, prune=prune)
+    if not cand_paths:
+        return None
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap0["schema_json"]))
+    cond = F.expr(condition)
+    touched_rows = (
+        spark.read.schema(schema).parquet(*cand_paths)
+        .where(cond)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not touched_rows:
+        return None  # nothing matches: no-op, no new snapshot
+    # input_file_name returns a URI (file:///...); normalize to the
+    # real paths we handed the reader
+    def _norm(p: str) -> str:
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                return p[len(pre):]
+        return p
+
+    touched = {_norm(r["f"]) for r in touched_rows}
+    n_deleted = sum(r["n"] for r in touched_rows)
+    touched_rel = {os.path.relpath(p, table) for p in touched}
+    # rewrite per partition group so new manifest entries keep valid
+    # partition values (one group, the common case, is one Spark write)
+    entry_by_rel = {f["path"]: f for f in snap0["files"]}
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(touched_rel):
+        key = tuple(sorted((entry_by_rel[rel].get("partition") or {}).items()))
+        groups.setdefault(key, []).append(os.path.join(table, rel))
+    new_files: list[dict] = []
+    for key, paths in sorted(groups.items()):
+        rewritten = _write_data_files(
+            spark.read.schema(schema).parquet(*paths).where(~cond), table
+        )
+        if key:
+            for e in rewritten:
+                e["partition"] = dict(key)
+        new_files.extend(rewritten)
+
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        base = load_snapshot(table, base_version)
+        base_paths = {f["path"] for f in base["files"]}
+        if not touched_rel <= base_paths:
+            return None  # concurrent writer dropped a touched file
+        files = [f for f in base["files"] if f["path"] not in touched_rel] + new_files
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "delete",
+            "schema": base["schema"],
+            "schema_json": base["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "delete_condition": condition,
+            "deleted_rows": n_deleted,
+            "rewritten": sorted(touched_rel),
+        }
+        if base.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = base["stream_batch_id"]
+        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap_out, f)
+        try:
+            os.link(tmp, _snap_path(table, version))
+            os.unlink(tmp)
+            return snap_out
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+    raise CommitConflict(
+        f"delete lost the commit race {max_retries} times on {table}"
+    )
+
+
 def _overlaps(lo, hi, op: str, value) -> bool:
     if op == "=":
         return lo <= value <= hi
@@ -348,11 +698,22 @@ def plan_files(
     prune: tuple[str, str, object] | None = None,
 ) -> tuple[dict, list[str]]:
     """Scan planning: (snapshot, file paths to read). ``prune`` is
-    ``(column, op, value)`` with op ∈ {=, >=, <=, between}; files whose
-    footer [min, max] for that column cannot contain a match are
+    ``(column, op, value)`` with op ∈ {=, >=, <=, between, in}; files
+    whose footer [min, max] for that column cannot contain a match are
     skipped WITHOUT touching them. Files lacking stats for the column
-    are conservatively kept."""
+    are conservatively kept.
+
+    When the snapshot carries a partition spec whose SOURCE column is
+    the pruned column, partition-value pruning composes (AND) with the
+    footer stats: the predicate's literal is pushed through the same
+    transform (``days``/``bucket``) and compared against each file's
+    recorded partition value — hidden partitioning, the caller names
+    only the raw column. Either screen alone suffices to drop a file;
+    a file must pass both to be read. Timestamp columns, whose footer
+    stats are not lifted (non-JSON-native), prune purely through their
+    ``days`` partition value."""
     snap = load_snapshot(table, version)
+    part_specs = {s["col"]: s for s in snap.get("partition_spec") or []}
     chosen = []
     for entry in snap["files"]:
         if prune is not None:
@@ -360,6 +721,11 @@ def plan_files(
             s = entry.get("stats", {}).get(col)
             if s is not None and not _overlaps(s[0], s[1], op, value):
                 continue
+            spec = part_specs.get(col)
+            if spec is not None:
+                pv = (entry.get("partition") or {}).get(spec["name"])
+                if not _partition_keeps(spec, pv, op, value):
+                    continue
         chosen.append(os.path.join(table, entry["path"]))
     return snap, chosen
 
@@ -371,18 +737,22 @@ def read_table(
     prune: tuple[str, str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; ``version=`` time-travels).
-    ``prune`` cuts the file list via manifest stats before Spark plans
-    the scan — the predicate itself must still be applied by the
-    caller's ``.where`` (stats pruning is a superset guarantee, exactly
-    like Iceberg's)."""
-    snap, files = plan_files(table, version, prune)
-    if not files:
-        from pyspark.sql.types import StructType
+    ``prune`` cuts the file list via manifest stats + partition values
+    before Spark plans the scan — the predicate itself must still be
+    applied by the caller's ``.where`` (stats pruning is a superset
+    guarantee, exactly like Iceberg's).
 
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(snap["schema_json"]))
-        )
-    return spark.read.parquet(*files)
+    The read always uses the SNAPSHOT's schema, not inference: after an
+    add-column append, files written before the evolution lack the new
+    column and the explicit schema null-backfills it (Iceberg's
+    read-time schema alignment)."""
+    snap, files = plan_files(table, version, prune)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def compact(
@@ -407,17 +777,43 @@ def compact(
     overwrite/compaction removed any of the planned files, the
     compaction aborts with ``None`` rather than resurrecting them.
     Returns the committed snapshot, or None when there is nothing to
-    do (fewer than two small files) or the base moved underneath."""
+    do (fewer than two small files in any partition group) or the base
+    moved underneath.
+
+    On a partitioned table, bin-packing happens WITHIN each partition
+    group (files of one partition value merge only with each other —
+    merging across would destroy the layout's pruning guarantee), and
+    the group's partition values are stamped onto the rewritten
+    entries. Iceberg's rewrite_data_files has the same per-partition
+    grouping."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     snap = load_snapshot(table)
-    small = [f for f in snap["files"] if f["rows"] < target_rows]
-    if len(small) < 2:
+    schema = StructType.fromJson(_json.loads(snap["schema_json"]))
+    groups: dict[tuple, list[dict]] = {}
+    for f in snap["files"]:
+        if f["rows"] < target_rows:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f)
+    groups = {k: v for k, v in groups.items() if len(v) >= 2}
+    if not groups:
         return None
-    total = sum(f["rows"] for f in small)
-    n_out = max(1, -(-total // target_rows))  # ceil
-    paths = [os.path.join(table, f["path"]) for f in small]
-    new_files = _write_data_files(
-        spark.read.parquet(*paths).coalesce(n_out), table
-    )
+    new_files: list[dict] = []
+    small: list[dict] = []
+    for key, entries in sorted(groups.items()):
+        small.extend(entries)
+        total = sum(f["rows"] for f in entries)
+        n_out = max(1, -(-total // target_rows))  # ceil
+        paths = [os.path.join(table, f["path"]) for f in entries]
+        rewritten = _write_data_files(
+            spark.read.schema(schema).parquet(*paths).coalesce(n_out), table
+        )
+        if key:
+            for e in rewritten:
+                e["partition"] = dict(key)
+        new_files.extend(rewritten)
     small_set = {f["path"] for f in small}
     for _ in range(max_retries):
         base_version = latest_version(table)
@@ -434,6 +830,11 @@ def compact(
             "mode": "compact",
             "schema": base["schema"],
             "schema_json": base["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
             "compacted": sorted(small_set),

@@ -157,3 +157,34 @@ def test_threshold_filter_is_scale_twin_of_percentile(spark):
             assert all_q[i]["quality"] <= kept_min[lang] + 1e-9
     with pytest.raises(ValueError):
         quality_threshold_filter(df, 1.5)
+
+
+def test_cap_per_domain_salted_parity(spark):
+    """The two-phase (salted) exact top-N returns ROW-IDENTICAL output
+    to the one-window form — including ranks — on a skewed corpus
+    where one domain dominates, with and without a quality column."""
+    from bootleg_spark.operators.curation import cap_per_domain_salted
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("https://hot.example.com/p"))
+        .otherwise(
+            F.concat(F.lit("https://cold"), (F.col("id") % 97).cast("string"),
+                     F.lit(".org/p"))
+        )
+        .alias("url"),
+        (F.pmod(F.col("id") * 37, F.lit(1000)).cast("double") / 1000).alias("q"),
+    )
+    for qcol in (None, "q"):
+        base = sorted(
+            tuple(r)
+            for r in cap_per_domain(docs, 5, quality_col=qcol).collect()
+        )
+        for s in (2, 16):
+            salted = sorted(
+                tuple(r)
+                for r in cap_per_domain_salted(
+                    docs, 5, quality_col=qcol, salt=s
+                ).collect()
+            )
+            assert salted == base

@@ -350,3 +350,197 @@ def test_executor_side_stats_lift_matches_driver(spark, docs, tmp_path, monkeypa
     ):
         assert a["rows"] == b["rows"] and a["stats"] == b["stats"]
     assert _rows(st.read_table(spark, t_exec)) == _rows(docs)
+
+
+def test_delete_rows_copy_on_write(spark, docs, tmp_path):
+    """Copy-on-write DELETE: matching rows gone from the new snapshot,
+    untouched files carried over byte-identical, old version still
+    time-travels, and delete-then-vacuum reclaims the rewritten
+    originals."""
+    table = str(tmp_path / "t")
+    # lay out files so grp ranges separate: repartitionByRange on grp
+    # gives some files that cannot contain grp=4 (stats-prunable)
+    st.write_table(docs.repartitionByRange(5, "grp"), table)
+    snap1 = st.load_snapshot(table)
+    untouched_before = {
+        f["path"] for f in snap1["files"]
+        if not (f["stats"]["grp"][0] <= 4 <= f["stats"]["grp"][1])
+    }
+    assert untouched_before  # layout really separated the ranges
+
+    s = st.delete_rows(spark, table, "grp = 4", prune=("grp", "=", 4))
+    assert s is not None and s["mode"] == "delete"
+    assert s["deleted_rows"] == 20 and s["total_rows"] == 80
+    # untouched files are the SAME manifest entries (no rewrite)
+    new_paths = {f["path"] for f in s["files"]}
+    assert untouched_before <= new_paths
+    assert set(s["rewritten"]).isdisjoint(untouched_before)
+    # data: latest has no grp=4; v1 still has all 100
+    assert st.read_table(spark, table).where("grp = 4").count() == 0
+    assert st.read_table(spark, table).count() == 80
+    assert st.read_table(spark, table, version=1).count() == 100
+    # no-op delete: nothing matches -> no new snapshot
+    assert st.delete_rows(spark, table, "grp = 99") is None
+    assert st.latest_version(table) == 2
+    # delete-then-vacuum: the rewritten originals are reclaimed
+    deleted = st.vacuum(table, keep_versions=1)
+    assert set(deleted) == set(s["rewritten"])
+    assert st.read_table(spark, table).count() == 80
+
+
+def test_delete_rows_concurrent_writer_abort(spark, docs, tmp_path):
+    """If a concurrent commit drops a file this delete planned to
+    rewrite, the delete must abort (None), not resurrect stale data."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)
+
+    orig_write = st._write_data_files
+    def hijack(df, tbl):
+        # restore FIRST so the concurrent overwrite below (and any
+        # later call) uses the real write path — one-shot interleave
+        st._write_data_files = orig_write
+        out = orig_write(df, tbl)
+        # concurrent overwrite lands AFTER the delete staged its files
+        st.write_table(docs.where("grp < 2"), table, mode="overwrite")
+        return out
+    st._write_data_files = hijack
+    try:
+        result = st.delete_rows(spark, table, "grp = 0")
+    finally:
+        st._write_data_files = orig_write
+    assert result is None  # aborted: base moved underneath
+    # table reflects only the concurrent overwrite
+    assert st.read_table(spark, table).count() == 40
+
+
+def test_hidden_partitioning_days_and_bucket(spark, tmp_path):
+    """Hidden partitioning: write with [days(ts), bucket(url, 4)];
+    manifest entries carry partition values; plan_files prunes on the
+    RAW columns (caller never names the transform) and the pruned read
+    is still a correct superset."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://site"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 5) * 86400
+        ).alias("warc_ts"),
+    )
+    table = str(tmp_path / "t")
+    snap = st.write_table(
+        df, table, partition_by=[("warc_ts", "days"), ("url", "bucket", 4)]
+    )
+    assert snap["partition_spec"][0]["name"] == "warc_ts_day"
+    # every file is partition-pure and carries both values
+    for e in snap["files"]:
+        assert set(e["partition"]) == {"warc_ts_day", "url_bucket"}
+    n_all = len(snap["files"])
+    assert n_all > 5  # 5 days x up-to-4 buckets really fanned out
+
+    # day pruning on the raw timestamp column (its footer stats are
+    # NOT lifted — pruning works purely via the partition value)
+    day0 = "2023-11-14"  # 1_700_000_000 falls on this UTC day
+    _, files_day = st.plan_files(table, prune=("warc_ts", "=", day0 + " 22:13:20"))
+    assert 0 < len(files_day) < n_all
+    got = (
+        st.read_table(spark, table, prune=("warc_ts", "=", day0 + " 22:13:20"))
+        .where(F.col("warc_ts") == F.lit(day0 + " 22:13:20").cast("timestamp"))
+    )
+    assert got.count() == df.where(
+        F.col("warc_ts") == F.lit(day0 + " 22:13:20").cast("timestamp")
+    ).count() > 0
+
+    # range pruning through the monotonic days transform
+    _, files_range = st.plan_files(
+        table, prune=("warc_ts", "between", (day0 + " 00:00:00", "2023-11-15 23:59:59"))
+    )
+    assert 0 < len(files_range) < n_all
+
+    # bucket pruning on the raw url column: equality only
+    some_url = "https://site3.com/p10"
+    _, files_url = st.plan_files(table, prune=("url", "=", some_url))
+    assert 0 < len(files_url) < n_all
+    got_u = (
+        st.read_table(spark, table, prune=("url", "=", some_url))
+        .where(F.col("url") == some_url)
+    )
+    assert got_u.count() == 1
+    # range op on a bucket transform must NOT prune (non-monotonic)...
+    # ...but footer stats on url (a string col) may still cut; partition
+    # pruning alone is exercised via a column with no stats: none here,
+    # so just assert the full read round-trips
+    assert st.read_table(spark, table).count() == 200
+
+    # appends inherit the spec; a conflicting spec is rejected
+    s2 = st.write_table(df.limit(10), table, mode="append")
+    assert s2["partition_spec"] == snap["partition_spec"]
+    assert all("partition" in e for e in s2["files"])
+    with pytest.raises(ValueError, match="partition"):
+        st.write_table(df.limit(1), table, mode="append",
+                       partition_by=[("warc_ts", "days")])
+
+
+def test_partitioned_compact_and_delete_preserve_layout(spark, tmp_path):
+    """Compaction bin-packs WITHIN partition groups and deletes rewrite
+    per group — partition values stay valid (pruning still correct)."""
+    df = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("day_grp"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 3) * 86400
+        ).alias("warc_ts"),
+    )
+    table = str(tmp_path / "t")
+    # two small appends → 2 files per day value
+    st.write_table(df.where("doc_id < 60").coalesce(1), table,
+                   partition_by=[("warc_ts", "days")])
+    st.write_table(df.where("doc_id >= 60").coalesce(1), table, mode="append")
+    pre = st.load_snapshot(table)
+    assert len(pre["files"]) == 6  # 3 days x 2 commits
+
+    s = st.compact(spark, table, target_rows=1000)
+    assert s is not None and len(s["files"]) == 3  # one per day group
+    for e in s["files"]:
+        assert "warc_ts_day" in e["partition"]
+    assert s["partition_spec"] == pre["partition_spec"]
+    # pruning still opens a strict subset, rows intact
+    _, files_day = st.plan_files(table, prune=("warc_ts", "=", "2023-11-15 22:13:20"))
+    assert len(files_day) == 1
+    assert st.read_table(spark, table).count() == 120
+
+    # delete one day's rows: only that group rewritten
+    sd = st.delete_rows(spark, table, "day_grp = 1",
+                        prune=("warc_ts", "=", "2023-11-15 22:13:20"))
+    assert sd is not None and sd["deleted_rows"] == 40
+    assert len(sd["rewritten"]) == 1
+    assert sd["partition_spec"] == pre["partition_spec"]
+    assert st.read_table(spark, table).count() == 80
+    assert st.read_table(spark, table).where("day_grp = 1").count() == 0
+
+
+def test_append_schema_evolution_null_backfill(spark, docs, tmp_path):
+    """Add-column append (Iceberg schema evolution): old files lack the
+    new column; reads align to the snapshot schema and null-backfill."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)
+    evolved = docs.where("grp = 0").withColumn(
+        "quality", (F.col("doc_id") * 2).cast("double")
+    )
+    s2 = st.write_table(evolved, table, mode="append")
+    assert "quality" in s2["schema"]
+    out = st.read_table(spark, table)
+    assert out.columns == ["doc_id", "grp", "text", "quality"]
+    assert out.count() == 120
+    # v1-era rows: quality null; evolved rows: populated
+    assert out.where(F.col("quality").isNull()).count() == 100
+    assert out.where("quality = 20.0").count() == 1
+    # v1 still reads with its own (pre-evolution) schema
+    v1 = st.read_table(spark, table, version=1)
+    assert v1.columns == ["doc_id", "grp", "text"]
+    # retype and drop are still rejected
+    with pytest.raises(ValueError, match="retypes"):
+        st.write_table(
+            docs.withColumn("grp", F.col("grp").cast("int")), table, mode="append"
+        )
+    with pytest.raises(ValueError, match="drops"):
+        st.write_table(docs.select("doc_id", "grp"), table, mode="append")
