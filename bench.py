@@ -24,6 +24,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _read_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
+    cycle theft, the per-trial telemetry that lets an out-of-band
+    bench number be attributed to the host instead of hand-waved
+    (VERDICT r05 ask #1)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
+class _TrialMeter:
+    """Wraps each timed trial with (timestamp, 1-min loadavg, steal%)
+    so every BENCH_r*.json row carries its own noise attribution."""
+
+    def start(self) -> None:
+        self._t0 = time.time()
+        self._steal0 = _read_steal()
+
+    def stop(self) -> dict:
+        dt = time.time() - self._t0
+        s1, t1 = _read_steal()
+        s0, t0 = self._steal0
+        steal_pct = round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else None
+        return {
+            "sec": round(dt, 3),
+            "t_start": round(self._t0, 1),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "steal_pct": steal_pct,
+        }
+
+
 def _run_queries(sf_dir: str, cores: int) -> dict:
     from bootleg_spark.session import get_spark
     from bootleg_spark.plans.pipeline import KgPipeline
@@ -57,11 +92,16 @@ def _run_queries(sf_dir: str, cores: int) -> dict:
     # of BENCH_TRIALS runs reported so the number carries its own noise
     # band (this virtualized host swings ~2x run-to-run).
     rep = int(os.environ.get("BENCH_REPLICATE", "50"))
-    # 3 trials by default: this host's neighbor-steal noise runs 2x+
-    # (load average >13 observed with nothing running locally) — the
-    # best-of-3 is the least-interfered measurement of the plan, the
-    # median is reported alongside as the honest typical figure
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    # r06 protocol (VERDICT r05 ask #1): 5 timed trials preceded by a
+    # FULL-SIZE discarded warmup. The r05 out-of-band median came from
+    # trials [8.33, 3.78, 1.61] — strictly DECREASING, i.e. a warm-up
+    # transient (JIT, page cache, shuffle-dir allocation), not random
+    # neighbor steal; the old small-slice warmup (limit(2000)) spun up
+    # Python workers but none of that. A discarded full-size pass
+    # removes the transient; 5 trials make the median robust to one
+    # interfered trial; per-trial (loadavg, steal%) telemetry makes any
+    # residual excursion attributable from the BENCH_r*.json itself.
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
     from pyspark.sql import functions as _F
 
     base = pipe.pages().withColumnRenamed("url", "_base_url").cache()
@@ -75,11 +115,16 @@ def _run_queries(sf_dir: str, cores: int) -> dict:
     )
     n_pages = n_base * rep
     pipe.triples(pages_big.limit(2000)).write.format("noop").mode("overwrite").save()
-    runs = []
+    t0 = time.time()
+    pipe.triples(pages_big).write.format("noop").mode("overwrite").save()
+    warmup_sec = round(time.time() - t0, 3)  # discarded, recorded
+    meter = _TrialMeter()
+    trial_rows = []
     for _ in range(max(1, trials)):
-        t0 = time.time()
+        meter.start()
         pipe.triples(pages_big).write.format("noop").mode("overwrite").save()
-        runs.append(time.time() - t0)
+        trial_rows.append(meter.stop())
+    runs = [t["sec"] for t in trial_rows]
     e2e = min(runs)
     e2e_median = sorted(runs)[len(runs) // 2]
 
@@ -109,6 +154,9 @@ def _run_queries(sf_dir: str, cores: int) -> dict:
         "pages_per_sec": round(n_pages / e2e, 2) if e2e > 0 else None,
         "pages_per_sec_median": round(n_pages / e2e_median, 2) if e2e_median > 0 else None,
         "pipeline_trials": [round(r, 3) for r in runs],
+        "pipeline_warmup_sec": warmup_sec,
+        "pipeline_trials_telemetry": trial_rows,
+        "bench_protocol": "r06: full-size discarded warmup + 5 timed trials + per-trial loadavg/steal",
     }
     spark.stop()
     return result
