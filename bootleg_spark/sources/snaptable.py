@@ -755,6 +755,198 @@ def read_table(
     return spark.read.schema(schema).parquet(*files)
 
 
+def read_incremental(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED between two snapshots — Iceberg's incremental append
+    scan, the batch-consumer twin of the streaming sink: a downstream
+    job that processed the table at ``from_version`` catches up by
+    reading exactly the files later appends introduced, never
+    re-scanning the base (at 10^12 rows a full rescan per consumption
+    cycle is the difference between minutes and days).
+
+    Defined only over an append-only lineage: every snapshot on the
+    parent chain ``(from_version, to_version]`` must have mode
+    ``append`` (overwrite/delete/compact change or rewrite existing
+    rows — "what was added" stops being well-defined, and Iceberg's
+    incremental scan rejects those the same way). Raises ValueError on
+    a non-append snapshot or a broken (vacuumed) chain. Files are
+    compared by manifest identity (write-once names), not content."""
+    if to_version is None:
+        to_version = latest_version(table)
+        if to_version is None:
+            raise FileNotFoundError(f"no snapshots in {table}")
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    to_snap = load_snapshot(table, to_version)
+    v = to_version
+    while v != from_version:
+        try:
+            snap = load_snapshot(table, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot chain broken at v{v} (vacuumed?) — incremental "
+                f"read from v{from_version} is not reconstructible"
+            )
+        if v != from_version and snap["mode"] != "append":
+            raise ValueError(
+                f"snapshot v{v} is mode={snap['mode']!r}; incremental reads "
+                "are defined only over append-only lineages"
+            )
+        if snap["parent"] is None or snap["parent"] < from_version:
+            raise ValueError(
+                f"v{from_version} is not on v{to_version}'s parent chain"
+            )
+        v = snap["parent"]
+    base_paths = {f["path"] for f in load_snapshot(table, from_version)["files"]}
+    new_paths = [
+        os.path.join(table, f["path"])
+        for f in to_snap["files"]
+        if f["path"] not in base_paths
+    ]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(to_snap["schema_json"]))
+    if not new_paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*new_paths)
+
+
+def merge_rows(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 3,
+) -> dict | None:
+    """Copy-on-write MERGE (upsert): every table row whose key matches
+    a ``source`` row is replaced by that source row; source rows with
+    unmatched keys are inserted. Completes the table's DML triad
+    (append / delete / merge) — the CDC-apply path a production corpus
+    needs for re-crawled pages (same url, new content).
+
+    ``source`` must be key-unique (one row per key — Iceberg's MERGE
+    raises on multiple matches for the same reason; enforced here with
+    one small aggregation on the source).
+
+    Scale shape mirrors :func:`delete_rows`: one semi-join scan of the
+    table grouped by ``input_file_name`` finds the files holding
+    matched keys (Spark broadcasts the key set when small); only those
+    files are rewritten (matched rows anti-joined away, per partition
+    group); the FULL source lands as new files through the normal
+    partitioned write path. Untouched files carry over by manifest
+    identity. Commit aborts with ``None`` if a concurrent writer
+    dropped a planned file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source is not key-unique on {key_cols}: e.g. "
+            + ", ".join(f"{k}={dup[0][k]!r}" for k in key_cols)
+        )
+    snap0 = load_snapshot(table)
+    schema = StructType.fromJson(json.loads(snap0["schema_json"]))
+    _check_append_schema(snap0, source.schema)
+    all_paths = [os.path.join(table, f["path"]) for f in snap0["files"]]
+    keys = source.select(*key_cols).distinct()
+    # input_file_name() must bind to its single source BEFORE the join
+    # (Spark rejects it in a multi-source plan), so materialize it in a
+    # projection directly over the scan
+    tbl_with_file = spark.read.schema(schema).parquet(*all_paths).select(
+        *key_cols, F.input_file_name().alias("_f")
+    )
+    touched_rows = (
+        tbl_with_file.join(keys, key_cols, "left_semi")
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    def _norm(p: str) -> str:
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                return p[len(pre):]
+        return p
+
+    touched_rel = {os.path.relpath(_norm(r["_f"]), table) for r in touched_rows}
+    n_updated = sum(r["n"] for r in touched_rows)
+    spec = snap0.get("partition_spec")
+    entry_by_rel = {f["path"]: f for f in snap0["files"]}
+    new_files: list[dict] = []
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(touched_rel):
+        key = tuple(sorted((entry_by_rel[rel].get("partition") or {}).items()))
+        groups.setdefault(key, []).append(os.path.join(table, rel))
+    for key, paths in sorted(groups.items()):
+        remainder = (
+            spark.read.schema(schema).parquet(*paths).join(keys, key_cols, "left_anti")
+        )
+        rewritten = _write_data_files(remainder, table)
+        if key:
+            for e in rewritten:
+                e["partition"] = dict(key)
+        new_files.extend(rewritten)
+    # the whole source (updates + inserts) goes through the normal
+    # partitioned write path, so inserts land with correct layout;
+    # aligned to the TABLE's schema and column order (extra source
+    # columns would be evolution — do that with an append first)
+    src_aligned = source.select(*[f.name for f in schema.fields])
+    new_files.extend(_write_data_files(src_aligned, table, spec))
+
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        base = load_snapshot(table, base_version)
+        base_paths = {f["path"] for f in base["files"]}
+        if not touched_rel <= base_paths:
+            return None  # concurrent writer dropped a touched file
+        files = [f for f in base["files"] if f["path"] not in touched_rel] + new_files
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "merge",
+            "schema": base["schema"],
+            "schema_json": base["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "merge_keys": list(key_cols),
+            "updated_rows": n_updated,
+            "rewritten": sorted(touched_rel),
+        }
+        if base.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = base["stream_batch_id"]
+        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap_out, f)
+        try:
+            os.link(tmp, _snap_path(table, version))
+            os.unlink(tmp)
+            return snap_out
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+    raise CommitConflict(
+        f"merge lost the commit race {max_retries} times on {table}"
+    )
+
+
 def compact(
     spark: SparkSession,
     table: str,

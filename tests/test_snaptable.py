@@ -544,3 +544,86 @@ def test_append_schema_evolution_null_backfill(spark, docs, tmp_path):
         )
     with pytest.raises(ValueError, match="drops"):
         st.write_table(docs.select("doc_id", "grp"), table, mode="append")
+
+
+def test_read_incremental_append_only(spark, docs, tmp_path):
+    """Incremental append scan: exactly the rows added between two
+    versions; rejects non-append lineages and broken chains."""
+    table = str(tmp_path / "t")
+    st.write_table(docs.where("grp = 0"), table)                    # v1
+    st.write_table(docs.where("grp = 1"), table, mode="append")     # v2
+    st.write_table(docs.where("grp = 2"), table, mode="append")     # v3
+    inc = st.read_incremental(spark, table, from_version=1)
+    assert _rows(inc) == _rows(docs.where("grp IN (1, 2)"))
+    inc12 = st.read_incremental(spark, table, from_version=1, to_version=2)
+    assert _rows(inc12) == _rows(docs.where("grp = 1"))
+    # from == to: empty, correctly typed
+    same = st.read_incremental(spark, table, from_version=2, to_version=2)
+    assert same.count() == 0 and same.columns == ["doc_id", "grp", "text"]
+    # an overwrite poisons the lineage
+    st.write_table(docs.where("grp = 3"), table, mode="overwrite")  # v4
+    with pytest.raises(ValueError, match="append-only"):
+        st.read_incremental(spark, table, from_version=1)
+    # ...but a window past the overwrite works again
+    st.write_table(docs.where("grp = 4"), table, mode="append")     # v5
+    inc45 = st.read_incremental(spark, table, from_version=4)
+    assert _rows(inc45) == _rows(docs.where("grp = 4"))
+
+
+def test_merge_rows_upsert(spark, docs, tmp_path):
+    """CoW MERGE: matched keys replaced, unmatched inserted, untouched
+    files carried over, source key-uniqueness enforced."""
+    table = str(tmp_path / "t")
+    s0 = st.write_table(docs.repartitionByRange(5, "doc_id"), table)
+    # updates: docs 0..9 get new text; inserts: 1000..1004
+    upd = docs.where("doc_id < 10").withColumn(
+        "text", F.concat(F.lit("UPDATED-"), F.col("doc_id").cast("string"))
+    )
+    ins = spark.range(1000, 1005).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("grp"),
+        F.lit("new").alias("text"),
+    )
+    src = upd.unionByName(ins)
+    s = st.merge_rows(spark, table, src, ["doc_id"])
+    assert s is not None and s["mode"] == "merge"
+    assert s["updated_rows"] == 10 and s["total_rows"] == 105
+    # only files containing doc_id < 10 were rewritten
+    untouched = {
+        f["path"] for f in s0["files"] if f["stats"]["doc_id"][0] >= 10
+    }
+    assert untouched and untouched <= {f["path"] for f in s["files"]}
+    out = st.read_table(spark, table)
+    assert out.count() == 105
+    assert out.where("text LIKE 'UPDATED-%'").count() == 10
+    assert out.where("doc_id >= 1000").count() == 5
+    assert out.where("doc_id < 10 AND text NOT LIKE 'UPDATED-%'").count() == 0
+    # pre-merge version still time-travels
+    assert st.read_table(spark, table, version=1).count() == 100
+    # non-key-unique source rejected
+    with pytest.raises(ValueError, match="key-unique"):
+        st.merge_rows(spark, table, src.unionByName(ins), ["doc_id"])
+
+
+def test_merge_rows_partitioned_layout(spark, tmp_path):
+    """MERGE on a partitioned table: rewritten files keep their group's
+    partition values; inserted rows land with the table's layout."""
+    df = spark.range(0, 90).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 3) * 86400
+        ).alias("warc_ts"),
+        F.lit("orig").alias("text"),
+    )
+    table = str(tmp_path / "t")
+    st.write_table(df, table, partition_by=[("warc_ts", "days")])
+    src = df.where("doc_id % 30 = 0").withColumn("text", F.lit("upd"))
+    s = st.merge_rows(spark, table, src, ["doc_id"])
+    assert s is not None
+    for e in s["files"]:
+        assert "warc_ts_day" in (e.get("partition") or {})
+    # day pruning still cuts files; updated rows visible
+    _, fs = st.plan_files(table, prune=("warc_ts", "=", "2023-11-14 22:13:20"))
+    assert 0 < len(fs) < len(s["files"])
+    assert st.read_table(spark, table).where("text = 'upd'").count() == 3
+    assert st.read_table(spark, table).count() == 90
