@@ -627,3 +627,35 @@ def test_merge_rows_partitioned_layout(spark, tmp_path):
     assert 0 < len(fs) < len(s["files"])
     assert st.read_table(spark, table).where("text = 'upd'").count() == 3
     assert st.read_table(spark, table).count() == 90
+
+
+def test_partition_spec_evolution_via_overwrite(spark, tmp_path):
+    """Changing the partition spec happens through overwrite (append
+    with a different spec is rejected): the new snapshot carries the
+    new spec and prunes through it; the old version still reads and
+    prunes through ITS spec — per-snapshot specs, like Iceberg's
+    spec-id per manifest."""
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 3) * 86400
+        ).alias("warc_ts"),
+    )
+    table = str(tmp_path / "t")
+    st.write_table(df, table, partition_by=[("warc_ts", "days")])
+    _, v1_day = st.plan_files(table, prune=("warc_ts", "=", "2023-11-15 22:13:20"))
+    n1 = len(st.load_snapshot(table)["files"])
+    assert 0 < len(v1_day) < n1
+
+    st.write_table(df, table, partition_by=[("url", "bucket", 4)])
+    snap2 = st.load_snapshot(table)
+    assert snap2["partition_spec"][0]["name"] == "url_bucket"
+    _, v2_url = st.plan_files(table, prune=("url", "=", "u3"))
+    assert 0 < len(v2_url) < len(snap2["files"])
+    # old version still prunes through the OLD spec
+    _, old_day = st.plan_files(
+        table, version=1, prune=("warc_ts", "=", "2023-11-15 22:13:20")
+    )
+    assert len(old_day) == len(v1_day)
+    assert st.read_table(spark, table).count() == 60
