@@ -341,7 +341,18 @@ def _write_data_files(
     one file per partition value and strips the derived column from the
     data files), and each manifest entry records its partition values —
     the layout is invisible to readers except through
-    :func:`plan_files` pruning."""
+    :func:`plan_files` pruning.
+
+    Remaining driver-side step (stats lift moved executor-side in r06,
+    see :func:`_lift_stats`): the staging→``data/`` renames run in a
+    driver loop. On POSIX a rename is a ~10 µs metadata op, so this is
+    ~1 s even at 10^5 files; on an object store a "rename" is a copy
+    and the honest fix is different — have executor tasks write final
+    unique names directly (foreachPartition writer emitting (path,
+    rows) instead of Spark's committer staging), which removes the
+    staging dir entirely. Documented rather than built: the POSIX
+    contract this layer already states (optimistic ``os.link`` commits)
+    is the deployment target here, and there renames are cheap."""
     data_dir = os.path.join(table, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(os.path.join(table, SNAP_DIR), exist_ok=True)
