@@ -73,6 +73,47 @@ def _snap_path(table: str, version: int) -> str:
     return os.path.join(table, SNAP_DIR, f"v{version}.json")
 
 
+def _try_publish(table: str, snap: dict) -> bool:
+    """Stamp the commit wall-clock (``committed_at`` — what
+    :func:`version_as_of` resolves against) and atomically publish
+    snapshot ``snap['version']`` via the create-exclusive link.
+    ``False`` = lost the race; the caller re-derives its base and
+    retries."""
+    import time as _time
+
+    snap["committed_at"] = round(_time.time(), 3)
+    tmp = os.path.join(
+        table, SNAP_DIR, f".v{snap['version']}-{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    try:
+        os.link(tmp, _snap_path(table, snap["version"]))
+        os.unlink(tmp)
+        return True
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+
+
+def version_as_of(table: str, ts: float) -> int:
+    """The table version visible at wall-clock ``ts`` — the largest
+    version with ``committed_at <= ts`` (Iceberg's ``FOR TIMESTAMP AS
+    OF``). Raises ValueError when ``ts`` predates the first retained
+    commit (or the retained snapshots predate timestamp stamping)."""
+    best = None
+    for v in _list_versions(table):
+        c = load_snapshot(table, v).get("committed_at")
+        if c is not None and c <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {table} committed at or before {ts} "
+            "(vacuumed, or predates commit timestamps)"
+        )
+    return best
+
+
 def _list_versions(table: str) -> list[int]:
     d = os.path.join(table, SNAP_DIR)
     if not os.path.isdir(d):
@@ -508,19 +549,12 @@ def write_table(
             ),
             **(extra or {}),
         }
-        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        try:
-            # create-EXCLUSIVE publish: os.link fails with EEXIST if a
-            # concurrent writer won this version — unlike os.replace,
-            # which would silently clobber their commit
-            os.link(tmp, _snap_path(table, version))
-            os.unlink(tmp)
+        # create-EXCLUSIVE publish: os.link fails with EEXIST if a
+        # concurrent writer won this version — unlike os.replace,
+        # which would silently clobber their commit
+        if _try_publish(table, snap):
             return snap
-        except FileExistsError:
-            os.unlink(tmp)
-            continue  # lost the race: re-derive base + version
+        # lost the race: re-derive base + version
     raise CommitConflict(
         f"lost the commit race {max_retries} times on {table} — "
         "a live writer is outpacing this one"
@@ -673,16 +707,8 @@ def delete_rows(
         }
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
-        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snap_out, f)
-        try:
-            os.link(tmp, _snap_path(table, version))
-            os.unlink(tmp)
+        if _try_publish(table, snap_out):
             return snap_out
-        except FileExistsError:
-            os.unlink(tmp)
-            continue
     raise CommitConflict(
         f"delete lost the commit race {max_retries} times on {table}"
     )
@@ -826,6 +852,70 @@ def read_incremental(
     return spark.read.schema(schema).parquet(*new_paths)
 
 
+CONSUMER_DIR = "_consumers"
+
+
+def _offset_path(table: str, group: str) -> str:
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in group)
+    return os.path.join(table, CONSUMER_DIR, f"{safe}.json")
+
+
+def consumer_offset(table: str, group: str) -> int | None:
+    """The last version consumer ``group`` acknowledged, or None."""
+    try:
+        with open(_offset_path(table, group)) as f:
+            return json.load(f)["version"]
+    except FileNotFoundError:
+        return None
+
+
+def consume_appends(
+    spark: SparkSession, table: str, group: str
+) -> tuple[DataFrame, int] | None:
+    """At-least-once incremental consumption with a durable per-group
+    offset — the consumer twin of :func:`commit_stream_batch`'s
+    exactly-once producer (together: the table doubles as a log, the
+    Kafka-consumer-group pattern over table metadata that real
+    pipelines use to chain jobs without a broker).
+
+    Returns ``(df, to_version)`` where ``df`` is everything appended
+    after the group's last acknowledged version (the FULL current
+    snapshot on a group's first call — the bootstrap read), or ``None``
+    when the group is caught up. The caller processes ``df`` and then
+    calls :func:`ack_consumed` with ``to_version``; a crash before the
+    ack simply replays the window on the next call (at-least-once —
+    make the downstream write idempotent, e.g. another snaptable with
+    ``commit_stream_batch`` semantics). Raises ValueError if the
+    lineage between offset and head contains a non-append snapshot
+    (overwrite/delete/compact): incremental semantics are void there —
+    reset the group (delete its offset file) to re-bootstrap."""
+    head = latest_version(table)
+    if head is None:
+        return None
+    last = consumer_offset(table, group)
+    if last is None:
+        return read_table(spark, table, version=head), head
+    if last >= head:
+        return None
+    return read_incremental(spark, table, from_version=last, to_version=head), head
+
+
+def ack_consumed(table: str, group: str, version: int) -> None:
+    """Durably advance ``group``'s offset to ``version`` (atomic
+    replace — torn writes can't corrupt the offset). Offsets only move
+    forward; a stale ack (≤ current) is a no-op, so replayed
+    processing after a crash cannot rewind the group."""
+    cur = consumer_offset(table, group)
+    if cur is not None and version <= cur:
+        return
+    os.makedirs(os.path.join(table, CONSUMER_DIR), exist_ok=True)
+    path = _offset_path(table, group)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"group": group, "version": version}, f)
+    os.replace(tmp, path)
+
+
 def merge_rows(
     spark: SparkSession,
     table: str,
@@ -943,16 +1033,8 @@ def merge_rows(
         }
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
-        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snap_out, f)
-        try:
-            os.link(tmp, _snap_path(table, version))
-            os.unlink(tmp)
+        if _try_publish(table, snap_out):
             return snap_out
-        except FileExistsError:
-            os.unlink(tmp)
-            continue
     raise CommitConflict(
         f"merge lost the commit race {max_retries} times on {table}"
     )
@@ -1048,16 +1130,8 @@ def compact(
         # double-append (exactly-once contract, ADVICE r05 medium)
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
-        tmp = os.path.join(table, SNAP_DIR, f".v{version}-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snap_out, f)
-        try:
-            os.link(tmp, _snap_path(table, version))
-            os.unlink(tmp)
+        if _try_publish(table, snap_out):
             return snap_out
-        except FileExistsError:
-            os.unlink(tmp)
-            continue
     raise CommitConflict(f"compaction lost the commit race {max_retries} times on {table}")
 
 

@@ -659,3 +659,58 @@ def test_partition_spec_evolution_via_overwrite(spark, tmp_path):
     )
     assert len(old_day) == len(v1_day)
     assert st.read_table(spark, table).count() == 60
+
+
+def test_version_as_of_timestamp(spark, docs, tmp_path):
+    """FOR TIMESTAMP AS OF: commits stamp committed_at; resolution
+    picks the largest version at-or-before the asked instant."""
+    import time
+
+    table = str(tmp_path / "t")
+    s1 = st.write_table(docs.where("grp = 0"), table)
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    s2 = st.write_table(docs.where("grp = 1"), table, mode="append")
+    assert s1["committed_at"] < mid < s2["committed_at"]
+    assert st.version_as_of(table, mid) == 1
+    assert st.version_as_of(table, time.time()) == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        st.version_as_of(table, s1["committed_at"] - 10)
+    v = st.version_as_of(table, mid)
+    assert st.read_table(spark, table, version=v).count() == 20
+
+
+def test_consumer_group_offsets(spark, docs, tmp_path):
+    """Consumer-group incremental consumption: bootstrap reads the full
+    snapshot, acks advance durably, replay-before-ack re-delivers,
+    stale acks cannot rewind, caught-up returns None."""
+    table = str(tmp_path / "t")
+    st.write_table(docs.where("grp = 0"), table)                 # v1
+    # bootstrap: full snapshot
+    got = st.consume_appends(spark, table, "job-a")
+    assert got is not None
+    df, v = got
+    assert df.count() == 20 and v == 1
+    # crash before ack: replay delivers the same window
+    df2, v2 = st.consume_appends(spark, table, "job-a")
+    assert df2.count() == 20 and v2 == 1
+    st.ack_consumed(table, "job-a", 1)
+    assert st.consume_appends(spark, table, "job-a") is None     # caught up
+    # two appends land; one consume covers both
+    st.write_table(docs.where("grp = 1"), table, mode="append")  # v2
+    st.write_table(docs.where("grp = 2"), table, mode="append")  # v3
+    df3, v3 = st.consume_appends(spark, table, "job-a")
+    assert v3 == 3 and _rows(df3) == _rows(docs.where("grp IN (1, 2)"))
+    st.ack_consumed(table, "job-a", 3)
+    # stale ack is a no-op (cannot rewind)
+    st.ack_consumed(table, "job-a", 1)
+    assert st.consumer_offset(table, "job-a") == 3
+    # an independent group has its own offset (bootstraps fresh)
+    dfb, vb = st.consume_appends(spark, table, "job-b")
+    assert vb == 3 and dfb.count() == 60
+    # non-append lineage surfaces as ValueError for a lagging group
+    st.write_table(docs.where("grp = 4"), table, mode="overwrite")  # v4
+    st.write_table(docs.where("grp = 3"), table, mode="append")     # v5
+    with pytest.raises(ValueError, match="append-only"):
+        st.consume_appends(spark, table, "job-a")
