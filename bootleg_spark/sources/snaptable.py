@@ -634,6 +634,84 @@ def delete_rows(
     On a partitioned table the rewrite happens per partition group
     (touched files of one partition value rewritten together) so the
     new files keep valid partition values in the manifest."""
+    return _cow_rewrite(
+        spark,
+        table,
+        condition,
+        prune,
+        transform=lambda df, cond: df.where(~cond),
+        mode="delete",
+        summary=lambda n: {"delete_condition": condition, "deleted_rows": n},
+        max_retries=max_retries,
+    )
+
+
+def update_rows(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: tuple[str, str, object] | None = None,
+    max_retries: int = 3,
+) -> dict | None:
+    """Copy-on-write row-level UPDATE — rows matching ``condition``
+    have each column in ``set_exprs`` replaced by its SQL expression
+    (evaluated per row, cast back to the column's declared type so the
+    table schema can never drift); all other rows and columns pass
+    through unchanged. Completes the DML triad with :func:`delete_rows`
+    and :func:`merge_rows`, sharing their exact machinery: stats-pruned
+    candidates, touch detection, rewrite of ONLY the files containing
+    matches (per partition group), optimistic commit with
+    concurrent-writer abort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap0 = load_snapshot(table)
+    schema = StructType.fromJson(json.loads(snap0["schema_json"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    for c in set_exprs:
+        if c not in types:
+            raise ValueError(f"SET column {c!r} is not a table column")
+
+    def transform(df, cond):
+        out = df
+        for c, e in set_exprs.items():
+            out = out.withColumn(
+                c, F.when(cond, F.expr(e).cast(types[c])).otherwise(F.col(c))
+            )
+        return out
+
+    return _cow_rewrite(
+        spark,
+        table,
+        condition,
+        prune,
+        transform=transform,
+        mode="update",
+        summary=lambda n: {
+            "update_condition": condition,
+            "set_exprs": dict(set_exprs),
+            "updated_rows": n,
+        },
+        max_retries=max_retries,
+    )
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    prune: tuple[str, str, object] | None,
+    transform,
+    mode: str,
+    summary,
+    max_retries: int,
+) -> dict | None:
+    """Shared copy-on-write machinery for DELETE and UPDATE: metadata
+    prune → input_file_name touch detection → per-partition-group
+    rewrite via ``transform(df, cond)`` → optimistic commit carrying
+    spec + stream watermark. ``summary(n_matched)`` supplies the
+    mode-specific manifest keys."""
     snap0, cand_paths = plan_files(table, prune=prune)
     if not cand_paths:
         return None
@@ -660,7 +738,7 @@ def delete_rows(
         return p
 
     touched = {_norm(r["f"]) for r in touched_rows}
-    n_deleted = sum(r["n"] for r in touched_rows)
+    n_matched = sum(r["n"] for r in touched_rows)
     touched_rel = {os.path.relpath(p, table) for p in touched}
     # rewrite per partition group so new manifest entries keep valid
     # partition values (one group, the common case, is one Spark write)
@@ -672,7 +750,7 @@ def delete_rows(
     new_files: list[dict] = []
     for key, paths in sorted(groups.items()):
         rewritten = _write_data_files(
-            spark.read.schema(schema).parquet(*paths).where(~cond), table
+            transform(spark.read.schema(schema).parquet(*paths), cond), table
         )
         if key:
             for e in rewritten:
@@ -691,7 +769,7 @@ def delete_rows(
             "format_version": FORMAT_VERSION,
             "version": version,
             "parent": base_version,
-            "mode": "delete",
+            "mode": mode,
             "schema": base["schema"],
             "schema_json": base["schema_json"],
             **(
@@ -701,8 +779,7 @@ def delete_rows(
             ),
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
-            "delete_condition": condition,
-            "deleted_rows": n_deleted,
+            **summary(n_matched),
             "rewritten": sorted(touched_rel),
         }
         if base.get("stream_batch_id") is not None:
@@ -710,7 +787,7 @@ def delete_rows(
         if _try_publish(table, snap_out):
             return snap_out
     raise CommitConflict(
-        f"delete lost the commit race {max_retries} times on {table}"
+        f"{mode} lost the commit race {max_retries} times on {table}"
     )
 
 

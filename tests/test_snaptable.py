@@ -714,3 +714,150 @@ def test_consumer_group_offsets(spark, docs, tmp_path):
     st.write_table(docs.where("grp = 3"), table, mode="append")     # v5
     with pytest.raises(ValueError, match="append-only"):
         st.consume_appends(spark, table, "job-a")
+
+
+def test_update_rows_copy_on_write(spark, docs, tmp_path):
+    """CoW UPDATE: matched rows get SET expressions (cast to the
+    column's declared type), untouched files carry over, old version
+    still time-travels, unknown SET column rejected."""
+    table = str(tmp_path / "t")
+    s0 = st.write_table(docs.repartitionByRange(5, "doc_id"), table)
+    s = st.update_rows(
+        spark, table, "doc_id < 20",
+        {"text": "concat('U-', CAST(doc_id AS STRING))", "grp": "grp + 100"},
+        prune=("doc_id", "<=", 19),
+    )
+    assert s is not None and s["mode"] == "update"
+    assert s["updated_rows"] == 20 and s["total_rows"] == 100
+    untouched = {f["path"] for f in s0["files"] if f["stats"]["doc_id"][0] >= 20}
+    assert untouched and untouched <= {f["path"] for f in s["files"]}
+    out = st.read_table(spark, table)
+    assert out.where("text LIKE 'U-%'").count() == 20
+    assert out.where("grp >= 100").count() == 20
+    assert out.where("doc_id >= 20 AND grp >= 100").count() == 0
+    # schema stable (grp stayed bigint despite the arithmetic expr)
+    assert dict(out.dtypes)["grp"] == "bigint"
+    assert st.read_table(spark, table, version=1).where("grp >= 100").count() == 0
+    # no-match update: no-op; unknown column: rejected
+    assert st.update_rows(spark, table, "doc_id = -1", {"grp": "0"}) is None
+    with pytest.raises(ValueError, match="not a table column"):
+        st.update_rows(spark, table, "doc_id = 0", {"nope": "1"})
+
+
+def test_random_dml_sequences_match_model(spark, tmp_path):
+    """Model-based check over the FULL DML surface: a seeded random
+    sequence of overwrite/append/delete/update/merge/compact/vacuum
+    must keep every retained version's read equal to an in-memory
+    model — the invariant extends to row-level mutations (round 6)."""
+    import random
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("grp")
+    ).cache()
+    base.count()
+
+    for seed in (7, 43):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        model: dict[int, list] = {}
+        latest: list = []
+        for _step in range(12):
+            op = rng.choice(
+                ["overwrite", "append", "delete", "update", "merge", "compact", "vacuum"]
+            )
+            lo = rng.randrange(0, 280)
+            hi = lo + rng.randrange(1, 40)
+            piece = base.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            piece_rows = sorted(tuple(r) for r in piece.collect())
+            if op == "overwrite":
+                s = st.write_table(piece.coalesce(rng.randrange(1, 4)), table)
+                latest = list(piece_rows)
+                model[s["version"]] = latest
+            elif not model:
+                continue
+            elif op == "append":
+                s = st.write_table(piece.coalesce(1), table, mode="append")
+                latest = sorted(latest + piece_rows)
+                model[s["version"]] = latest
+            elif op == "delete":
+                g = rng.randrange(0, 10)
+                s = st.delete_rows(spark, table, f"grp = {g}")
+                if s is not None:
+                    latest = [r for r in latest if r[1] != g]
+                    model[s["version"]] = latest
+            elif op == "update":
+                g = rng.randrange(0, 10)
+                s = st.update_rows(
+                    spark, table, f"grp = {g}", {"doc_id": "doc_id + 1000"}
+                )
+                if s is not None:
+                    latest = sorted(
+                        (r[0] + 1000, r[1]) if r[1] == g else r for r in latest
+                    )
+                    model[s["version"]] = latest
+            elif op == "merge":
+                # upsert a key-unique slice with shifted grp
+                src = piece.dropDuplicates(["doc_id"]).withColumn(
+                    "grp", (F.col("grp") + 1) % 10
+                )
+                src_rows = {r[0]: tuple(r) for r in src.collect()}
+                s = st.merge_rows(spark, table, src, ["doc_id"])
+                if s is not None:
+                    kept = [r for r in latest if r[0] not in src_rows]
+                    latest = sorted(kept + list(src_rows.values()))
+                    model[s["version"]] = latest
+            elif op == "compact":
+                s = st.compact(spark, table, target_rows=50)
+                if s is not None:
+                    model[s["version"]] = latest
+            else:  # vacuum
+                if len(model) < 2:
+                    continue
+                keep = rng.randrange(1, len(model) + 1)
+                st.vacuum(table, keep_versions=keep)
+                for v in sorted(model)[:-keep]:
+                    del model[v]
+            for v, want in model.items():
+                got = sorted(
+                    tuple(r)
+                    for r in st.read_table(spark, table, version=v).collect()
+                )
+                assert got == want, (seed, _step, op, v, len(got), len(want))
+
+
+def test_chained_log_pipeline_end_to_end(spark, docs, tmp_path):
+    """The table-as-log pattern end-to-end: an exactly-once producer
+    (commit_stream_batch) feeds table A; a consumer group drains A
+    incrementally and applies to table B with batch-id idempotence —
+    crash-replay at EITHER seam (producer batch replay, consumer
+    crash-before-ack) leaves B's contents exactly-once."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+
+    def drain(expect_rows):
+        got = st.consume_appends(spark, a, "a-to-b")
+        assert got is not None
+        df, v = got
+        assert df.count() == expect_rows
+        # downstream apply keyed by the consumed version: replays of
+        # the same window become no-ops in B
+        assert st.commit_stream_batch(df, b, batch_id=v) is not None
+        return df, v
+
+    st.commit_stream_batch(docs.where("grp = 0"), a, batch_id=0)
+    df, v = drain(20)
+    # consumer crash BEFORE ack: re-consume delivers same window; the
+    # idempotent apply into B is a no-op
+    df2, v2 = st.consume_appends(spark, a, "a-to-b")
+    assert v2 == v
+    assert st.commit_stream_batch(df2, b, batch_id=v2) is None
+    st.ack_consumed(a, "a-to-b", v)
+    # producer replay into A is a no-op, so the consumer stays caught up
+    assert st.commit_stream_batch(docs.where("grp = 0"), a, batch_id=0) is None
+    assert st.consume_appends(spark, a, "a-to-b") is None
+    # two more producer batches, one consumer drain covers both
+    st.commit_stream_batch(docs.where("grp = 1"), a, batch_id=1)
+    st.commit_stream_batch(docs.where("grp = 2"), a, batch_id=2)
+    df3, v3 = drain(40)
+    st.ack_consumed(a, "a-to-b", v3)
+    assert _rows(st.read_table(spark, b)) == _rows(docs.where("grp <= 2"))
