@@ -727,3 +727,58 @@ def snapshot_triples(
             }
         },
     )
+
+
+def incremental_kg_update(
+    pipe: KgPipeline,
+    pages_table: str,
+    graph_table: str,
+    group: str = "kg-builder",
+    extractor: str = "ngram",
+    scorer: str = "neural",
+) -> dict | None:
+    """One incremental KG-construction step over the table-as-log: the
+    crawl appends pages to ``pages_table`` (snapshot-manifest table);
+    this consumes ONLY the pages added since the last acknowledged run
+    (consumer-group offset), runs the full pipeline on that slice, and
+    lands the resulting triples in ``graph_table`` with edge-set
+    semantics and exactly-once effects. The north-star's "resumes
+    idempotently mid-run" at the job-chaining grain — a re-crawl cycle
+    never reprocesses the whole corpus and never double-writes an edge.
+
+    Exactly-once is belt-and-braces across the two crash seams:
+
+    - crash AFTER the graph commit, BEFORE the ack → the window
+      replays, but (a) the anti-join now removes every triple (they
+      are already in the graph) and (b) the graph's stream-batch
+      watermark (= consumed pages version) turns the re-commit into a
+      no-op anyway.
+    - crash before the commit → plain replay, nothing was written.
+
+    The anti-join gives the KG its set semantics across batches
+    (``pipe.triples`` dedups within a batch only); at scale it is a
+    shuffle join on (subj, pred, obj) against the graph — the standard
+    insert-if-absent shape, prunable further by reading only the
+    subj-range files the batch's triples can touch.
+
+    Returns ``{"consumed_version", "new_triples", "commit"}`` or
+    ``None`` when the consumer is caught up."""
+    from bootleg_spark.sources import snaptable as st
+
+    got = st.consume_appends(pipe.spark, pages_table, group)
+    if got is None:
+        return None
+    pages, v = got
+    tri = pipe.triples(pages, extractor=extractor, scorer=scorer)
+    if st.latest_version(graph_table) is not None:
+        existing = st.read_table(pipe.spark, graph_table).select(
+            "subj", "pred", "obj"
+        )
+        tri = tri.join(existing, ["subj", "pred", "obj"], "left_anti")
+    commit = st.commit_stream_batch(tri, graph_table, batch_id=v)
+    st.ack_consumed(pages_table, group, v)
+    return {
+        "consumed_version": v,
+        "new_triples": commit["new_rows"] if commit else 0,
+        "commit": commit,
+    }
