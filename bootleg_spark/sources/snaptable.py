@@ -522,10 +522,16 @@ def write_table(
     for _ in range(max_retries):
         base_version = latest_version(table)
         files = list(new_files)
+        carried_deletes = None
         if mode == "append" and base_version is not None:
             base = load_snapshot(table, base_version)
             _check_append_schema(base, df.schema)
             files = base["files"] + files
+            # pending merge-on-read delete files survive appends (they
+            # constrain the OLD rows; the new rows match them only if
+            # genuinely re-inserting a deleted key, Iceberg's own
+            # value-equality semantics); overwrite drops them
+            carried_deletes = base.get("delete_files")
         version = (base_version or 0) + 1
         snap = {
             "format_version": FORMAT_VERSION,
@@ -535,6 +541,7 @@ def write_table(
             "schema": df.schema.simpleString(),
             "schema_json": schema_json,
             **({"partition_spec": spec} if spec else {}),
+            **({"delete_files": carried_deletes} if carried_deletes else {}),
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
             # write-throughput metrics for the NEW files (north-rule:
@@ -784,10 +791,193 @@ def _cow_rewrite(
         }
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
+        # pending MOR delete files still constrain the (rewritten)
+        # rows — they apply by value, not by file identity
+        if base.get("delete_files"):
+            snap_out["delete_files"] = base["delete_files"]
         if _try_publish(table, snap_out):
             return snap_out
     raise CommitConflict(
         f"{mode} lost the commit race {max_retries} times on {table}"
+    )
+
+
+def delete_rows_mor(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    max_retries: int = 3,
+) -> dict:
+    """MERGE-ON-READ equality DELETE (Iceberg v2's other delete mode):
+    instead of rewriting every file containing a match (copy-on-write,
+    :func:`delete_rows`), commit only a small DELETE FILE holding the
+    key values; readers anti-join it at scan time and
+    :func:`apply_deletes` materializes it away later. Commit cost is
+    O(|keys|) regardless of how scattered the matches are — at 100 TB
+    a takedown list of 10^6 urls touching 10^5 files costs a 10^6-row
+    parquet write here versus 10^5 file rewrites under CoW; the read
+    tax (one broadcast anti-join per scan) is paid until the next
+    maintenance pass.
+
+    ``keys``' columns ARE the equality columns (Iceberg's equality
+    field ids). Semantics: a data row is deleted iff its values match
+    a key row — applied BY VALUE at read, so run :func:`apply_deletes`
+    before an UPDATE that modifies an equality column (the value-match
+    would otherwise no longer find the dead row). Appends, CoW
+    rewrites, compaction and merges all carry pending delete files
+    forward; overwrite drops them (new table contents).
+
+    Returns the committed snapshot (mode ``delete-mor``)."""
+    eq_cols = list(keys.columns)
+    delete_entries = _write_data_files(keys.distinct(), table)
+    for e in delete_entries:
+        e["equality_cols"] = eq_cols
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        if base_version is None:
+            raise FileNotFoundError(f"no snapshots in {table}")
+        base = load_snapshot(table, base_version)
+        missing = [c for c in eq_cols if c not in base["schema"]]
+        if missing:
+            raise ValueError(f"equality columns {missing} not in table schema")
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "delete-mor",
+            "schema": base["schema"],
+            "schema_json": base["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
+            "files": base["files"],
+            "total_rows": base["total_rows"],  # base rows; live rows < this
+            "delete_files": base.get("delete_files", []) + delete_entries,
+        }
+        if base.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = base["stream_batch_id"]
+        if _try_publish(table, snap_out):
+            return snap_out
+    raise CommitConflict(
+        f"delete-mor lost the commit race {max_retries} times on {table}"
+    )
+
+
+def _apply_mor_deletes(spark: SparkSession, table: str, df: DataFrame, snap: dict) -> DataFrame:
+    """Anti-join pending equality-delete files into a scan — the
+    merge-on-read read tax. Delete files are grouped by their equality
+    columns (one anti-join per distinct column set); key sets are
+    small by the mode's design, so Spark broadcasts them."""
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for e in snap.get("delete_files") or []:
+        groups.setdefault(tuple(e["equality_cols"]), []).append(
+            os.path.join(table, e["path"])
+        )
+    for cols, paths in sorted(groups.items()):
+        dels = spark.read.parquet(*paths).select(*cols).distinct()
+        df = df.join(F.broadcast(dels), list(cols), "left_anti")
+    return df
+
+
+def apply_deletes(
+    spark: SparkSession, table: str, max_retries: int = 3
+) -> dict | None:
+    """Materialize pending merge-on-read delete files: rewrite the data
+    files minus matching rows and commit a snapshot with no
+    ``delete_files`` — ending the per-scan anti-join tax (Iceberg's
+    rewrite_position/equality_deletes maintenance action). Touch
+    detection narrows the rewrite to files that actually hold matches,
+    exactly like CoW delete. Returns the committed snapshot, or None
+    when nothing is pending or the base moved underneath."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap0 = load_snapshot(table)
+    pending = snap0.get("delete_files") or []
+    if not pending:
+        return None
+    schema = StructType.fromJson(json.loads(snap0["schema_json"]))
+    all_paths = [os.path.join(table, f["path"]) for f in snap0["files"]]
+    # touched = files holding at least one key match (any equality
+    # group): files whose surviving-row count (after the anti-joins)
+    # differs from their manifest row count
+    base = spark.read.schema(schema).parquet(*all_paths)
+    survived = (
+        base.select(*schema.fieldNames(), F.input_file_name().alias("_f"))
+    )
+    survived = _apply_mor_deletes(
+        spark, table, survived, snap0
+    ).groupBy("_f").agg(F.count(F.lit(1)).alias("n"))
+    counts = {r["_f"]: r["n"] for r in survived.collect()}
+
+    def _norm(p: str) -> str:
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                return p[len(pre):]
+        return p
+
+    by_rel: dict[str, int] = {
+        os.path.relpath(_norm(f), table): n for f, n in counts.items()
+    }
+    touched_rel = {
+        e["path"]
+        for e in snap0["files"]
+        if by_rel.get(e["path"], 0) != e["rows"]
+    }
+    entry_by_rel = {f["path"]: f for f in snap0["files"]}
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(touched_rel):
+        key = tuple(sorted((entry_by_rel[rel].get("partition") or {}).items()))
+        groups.setdefault(key, []).append(os.path.join(table, rel))
+    new_files: list[dict] = []
+    for key, paths in sorted(groups.items()):
+        remaining = _apply_mor_deletes(
+            spark, table, spark.read.schema(schema).parquet(*paths), snap0
+        )
+        rewritten = _write_data_files(remaining, table)
+        if key:
+            for e in rewritten:
+                e["partition"] = dict(key)
+        new_files.extend(rewritten)
+
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        basev = load_snapshot(table, base_version)
+        base_paths = {f["path"] for f in basev["files"]}
+        if not touched_rel <= base_paths:
+            return None
+        if (basev.get("delete_files") or []) != pending:
+            return None  # new deletes landed meanwhile — replan
+        files = [f for f in basev["files"] if f["path"] not in touched_rel] + new_files
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "apply-deletes",
+            "schema": basev["schema"],
+            "schema_json": basev["schema_json"],
+            **(
+                {"partition_spec": basev["partition_spec"]}
+                if basev.get("partition_spec")
+                else {}
+            ),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "applied_delete_files": [e["path"] for e in pending],
+            "rewritten": sorted(touched_rel),
+        }
+        if basev.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = basev["stream_batch_id"]
+        if _try_publish(table, snap_out):
+            return snap_out
+    raise CommitConflict(
+        f"apply-deletes lost the commit race {max_retries} times on {table}"
     )
 
 
@@ -859,14 +1049,19 @@ def read_table(
     The read always uses the SNAPSHOT's schema, not inference: after an
     add-column append, files written before the evolution lack the new
     column and the explicit schema null-backfills it (Iceberg's
-    read-time schema alignment)."""
+    read-time schema alignment). Pending merge-on-read delete files
+    (:func:`delete_rows_mor`) are applied as broadcast anti-joins —
+    the MOR read tax, removed by :func:`apply_deletes`."""
     snap, files = plan_files(table, version, prune)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(snap["schema_json"]))
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files)
+    if snap.get("delete_files"):
+        df = _apply_mor_deletes(spark, table, df, snap)
+    return df
 
 
 def read_incremental(
@@ -1110,6 +1305,8 @@ def merge_rows(
         }
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
+        if base.get("delete_files"):
+            snap_out["delete_files"] = base["delete_files"]
         if _try_publish(table, snap_out):
             return snap_out
     raise CommitConflict(
@@ -1207,6 +1404,8 @@ def compact(
         # double-append (exactly-once contract, ADVICE r05 medium)
         if base.get("stream_batch_id") is not None:
             snap_out["stream_batch_id"] = base["stream_batch_id"]
+        if base.get("delete_files"):
+            snap_out["delete_files"] = base["delete_files"]
         if _try_publish(table, snap_out):
             return snap_out
     raise CommitConflict(f"compaction lost the commit race {max_retries} times on {table}")
@@ -1231,17 +1430,22 @@ def vacuum(
     remove_orphan_files has the identical ``older_than`` guard."""
     import time as _time
 
+    def _all_rels(snap: dict) -> list[str]:
+        # data files AND merge-on-read delete files are both
+        # snapshot-referenced disk state
+        return [f["path"] for f in snap["files"]] + [
+            e["path"] for e in snap.get("delete_files") or []
+        ]
+
     versions = _list_versions(table)
     deleted: list[str] = []
     if len(versions) > keep_versions:
         keep, drop = versions[-keep_versions:], versions[:-keep_versions]
         referenced = set()
         for v in keep:
-            for entry in load_snapshot(table, v)["files"]:
-                referenced.add(entry["path"])
+            referenced.update(_all_rels(load_snapshot(table, v)))
         for v in drop:
-            for entry in load_snapshot(table, v)["files"]:
-                rel = entry["path"]
+            for rel in _all_rels(load_snapshot(table, v)):
                 if rel not in referenced:
                     full = os.path.join(table, rel)
                     if os.path.exists(full):
@@ -1254,8 +1458,7 @@ def vacuum(
     # reference it
     retained_refs = set()
     for v in _list_versions(table):
-        for entry in load_snapshot(table, v)["files"]:
-            retained_refs.add(entry["path"])
+        retained_refs.update(_all_rels(load_snapshot(table, v)))
     data_dir = os.path.join(table, "data")
     now = _time.time()
     if os.path.isdir(data_dir):

@@ -861,3 +861,69 @@ def test_chained_log_pipeline_end_to_end(spark, docs, tmp_path):
     df3, v3 = drain(40)
     st.ack_consumed(a, "a-to-b", v3)
     assert _rows(st.read_table(spark, b)) == _rows(docs.where("grp <= 2"))
+
+
+def test_merge_on_read_equality_delete(spark, docs, tmp_path):
+    """MOR equality delete: O(|keys|) commit (data files untouched),
+    read applies the anti-join, deletes survive append/compact, and
+    apply_deletes materializes them away rewriting only touched
+    files."""
+    table = str(tmp_path / "t")
+    s0 = st.write_table(docs.repartitionByRange(5, "doc_id"), table)
+    keys = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    s = st.delete_rows_mor(spark, table, keys)
+    assert s["mode"] == "delete-mor"
+    # data files are EXACTLY the base's (no rewrite)
+    assert [f["path"] for f in s["files"]] == [f["path"] for f in s0["files"]]
+    assert len(s["delete_files"]) >= 1
+    out = st.read_table(spark, table)
+    assert out.count() == 90 and out.where("doc_id < 10").count() == 0
+    # pre-delete version unaffected
+    assert st.read_table(spark, table, version=1).count() == 100
+
+    # appended rows with a deleted key are also suppressed (value
+    # semantics) and the delete file survives the append
+    st.write_table(docs.where("doc_id = 5"), table, mode="append")
+    assert st.read_table(spark, table).where("doc_id = 5").count() == 0
+
+    # a second MOR delete stacks
+    st.delete_rows_mor(
+        spark, table, spark.range(90, 95).select(F.col("id").alias("doc_id"))
+    )
+    assert st.read_table(spark, table).count() == 85
+
+    # materialize: only files intersecting the keys rewritten
+    applied = st.apply_deletes(spark, table)
+    assert applied is not None and applied["mode"] == "apply-deletes"
+    assert "delete_files" not in applied
+    assert applied["total_rows"] == 85
+    untouched = {
+        f["path"] for f in s0["files"]
+        if f["stats"]["doc_id"][0] >= 10 and f["stats"]["doc_id"][1] < 90
+    }
+    assert untouched and untouched <= {f["path"] for f in applied["files"]}
+    assert st.read_table(spark, table).count() == 85
+    # nothing pending now
+    assert st.apply_deletes(spark, table) is None
+    # vacuum reclaims the expired delete files + rewritten originals
+    st.vacuum(table, keep_versions=1)
+    assert st.read_table(spark, table).count() == 85
+
+
+def test_mor_delete_with_cow_and_overwrite(spark, docs, tmp_path):
+    """Pending MOR deletes are carried by CoW update (still applied at
+    read) and dropped by overwrite (new table contents)."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)
+    st.delete_rows_mor(
+        spark, table, spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    )
+    s = st.update_rows(spark, table, "grp = 1", {"text": "'X'"})
+    assert s is not None and s.get("delete_files")
+    out = st.read_table(spark, table)
+    assert out.count() == 90  # deletes still applied after the rewrite
+    # grp=1 has 20 rows; 2 of them (doc_id 1, 6) are MOR-deleted -> 18
+    assert out.where("text = 'X'").count() == 18
+    st.write_table(docs.where("grp = 0"), table, mode="overwrite")
+    assert "delete_files" not in st.load_snapshot(table)
+    assert st.read_table(spark, table).count() == 20  # deletes dropped
