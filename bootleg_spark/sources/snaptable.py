@@ -11,9 +11,11 @@ What it reproduces, and how it maps onto the real thing:
   a JSON manifest ``_snapshots/v{N}.json`` naming exactly the files it
   contains plus per-file column stats. Readers NEVER glob ``data/`` —
   at crawl scale a directory listing of an object store is both slow
-  and racy; the manifest is one small read (Iceberg's metadata file +
-  manifest list, collapsed into one JSON here — at 10^6 files chunk
-  the file list into side manifests exactly as Iceberg does).
+  and racy; the manifest is one small read. Above
+  ``SNAPTABLE_INLINE_FILES_MAX`` entries the file list moves to a
+  write-once SIDE manifest and the snapshot JSON holds a pointer
+  (Iceberg's metadata-file / manifest-list split), so version
+  resolution stays O(1) no matter how many files a snapshot holds.
 - **Snapshot isolation + time travel.** Overwrite writes new files and
   a new snapshot that simply doesn't reference the old ones; the old
   snapshot stays readable (``version=``) until :func:`vacuum` drops
@@ -82,17 +84,45 @@ def _try_publish(table: str, snap: dict) -> bool:
     import time as _time
 
     snap["committed_at"] = round(_time.time(), 3)
+    # metadata scaling: above SNAPTABLE_INLINE_FILES_MAX entries the
+    # file list moves to a write-once SIDE manifest and the snapshot
+    # JSON holds only a pointer — the module docstring's "chunk the
+    # file list into side manifests exactly as Iceberg does". Readers
+    # inline it back in load_snapshot; at 10^6 files the snapshot
+    # file itself stays tiny and O(1) to read/parse for version
+    # resolution (latest_version, version_as_of, watermark scans).
+    inline_max = int(os.environ.get("SNAPTABLE_INLINE_FILES_MAX", "2000"))
+    to_write = snap
+    if len(snap.get("files", [])) + len(snap.get("delete_files", [])) > inline_max:
+        ref = f"m-{snap['version']}-{uuid.uuid4().hex[:8]}.json"
+        side = {"files": snap["files"]}
+        if snap.get("delete_files"):
+            side["delete_files"] = snap["delete_files"]
+        side_tmp = os.path.join(table, SNAP_DIR, f".{ref}.tmp")
+        with open(side_tmp, "w") as f:
+            json.dump(side, f)
+        os.replace(side_tmp, os.path.join(table, SNAP_DIR, ref))
+        to_write = {
+            k: v for k, v in snap.items() if k not in ("files", "delete_files")
+        }
+        to_write["files_ref"] = ref
+        snap["files_ref"] = ref  # caller's dict mirrors the loaded form
     tmp = os.path.join(
         table, SNAP_DIR, f".v{snap['version']}-{uuid.uuid4().hex[:8]}.tmp"
     )
     with open(tmp, "w") as f:
-        json.dump(snap, f)
+        json.dump(to_write, f)
     try:
         os.link(tmp, _snap_path(table, snap["version"]))
         os.unlink(tmp)
         return True
     except FileExistsError:
         os.unlink(tmp)
+        # a losing racer's side manifest is unreferenced — reclaim now
+        if "files_ref" in snap:
+            side_path = os.path.join(table, SNAP_DIR, snap.pop("files_ref"))
+            if os.path.exists(side_path):
+                os.unlink(side_path)
         return False
 
 
@@ -145,6 +175,15 @@ def load_snapshot(table: str, version: int | None = None) -> dict:
             f"snapshot v{version} has format_version "
             f"{snap.get('format_version')!r}, reader supports {FORMAT_VERSION}"
         )
+    # large file lists live in a side manifest (Iceberg's manifest
+    # list / manifest file split) — inline them transparently; the
+    # "files_ref" marker stays so vacuum can reclaim the side file
+    if "files_ref" in snap:
+        with open(os.path.join(table, SNAP_DIR, snap["files_ref"])) as f:
+            side = json.load(f)
+        snap["files"] = side["files"]
+        if "delete_files" in side:
+            snap["delete_files"] = side["delete_files"]
     return snap
 
 
@@ -1445,13 +1484,18 @@ def vacuum(
         for v in keep:
             referenced.update(_all_rels(load_snapshot(table, v)))
         for v in drop:
-            for rel in _all_rels(load_snapshot(table, v)):
+            s_v = load_snapshot(table, v)
+            for rel in _all_rels(s_v):
                 if rel not in referenced:
                     full = os.path.join(table, rel)
                     if os.path.exists(full):
                         os.unlink(full)
                     deleted.append(rel)
                     referenced.add(rel)  # don't double-delete across drops
+            if "files_ref" in s_v:  # the dropped version's side manifest
+                side = os.path.join(table, SNAP_DIR, s_v["files_ref"])
+                if os.path.exists(side):
+                    os.unlink(side)
             os.unlink(_snap_path(table, v))
     # orphan sweep: anything in data/ no RETAINED snapshot references
     # and old enough that no in-flight commit can still be about to

@@ -927,3 +927,37 @@ def test_mor_delete_with_cow_and_overwrite(spark, docs, tmp_path):
     st.write_table(docs.where("grp = 0"), table, mode="overwrite")
     assert "delete_files" not in st.load_snapshot(table)
     assert st.read_table(spark, table).count() == 20  # deletes dropped
+
+
+def test_side_manifest_for_large_file_lists(spark, docs, tmp_path, monkeypatch):
+    """Metadata scaling: above the inline threshold the file list moves
+    to a write-once side manifest; the snapshot JSON stays tiny, reads
+    and time travel are unchanged, and vacuum reclaims the side file
+    with its snapshot."""
+    monkeypatch.setenv("SNAPTABLE_INLINE_FILES_MAX", "5")
+    table = str(tmp_path / "t")
+    s1 = st.write_table(docs.repartition(10), table)       # 10 files > 5
+    assert "files_ref" in s1
+    snap_dir = os.path.join(table, st.SNAP_DIR)
+    # the snapshot file itself holds a pointer, not the list
+    with open(st._snap_path(table, 1)) as f:
+        raw = json.load(f)
+    assert "files" not in raw and raw["files_ref"] == s1["files_ref"]
+    assert os.path.exists(os.path.join(snap_dir, s1["files_ref"]))
+    # transparent read + load
+    assert len(st.load_snapshot(table)["files"]) == 10
+    assert _rows(st.read_table(spark, table)) == _rows(docs)
+    # small overwrite stays inline; old version still time-travels
+    s2 = st.write_table(docs.where("grp = 0").coalesce(1), table)
+    assert "files_ref" not in s2
+    assert _rows(st.read_table(spark, table, version=1)) == _rows(docs)
+    # MOR delete over a side-manifest base keeps working: grp=0 holds
+    # doc_ids 0,5,...,95, so of keys 0..4 only doc_id 0 matches -> 19
+    st.delete_rows_mor(
+        spark, table, spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    )
+    assert st.read_table(spark, table).count() == 19
+    # vacuum drops v1 -> its side manifest goes with it
+    st.vacuum(table, keep_versions=2)
+    assert not os.path.exists(os.path.join(snap_dir, s1["files_ref"]))
+    assert st.read_table(spark, table).count() == 19
