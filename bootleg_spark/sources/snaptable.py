@@ -1450,6 +1450,65 @@ def compact(
     raise CommitConflict(f"compaction lost the commit race {max_retries} times on {table}")
 
 
+def zorder_table(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 16,
+) -> dict:
+    """Rewrite the current snapshot clustered by the Morton (Z-order)
+    interleaving of ``cols`` — Delta/Iceberg's ``ZORDER BY``
+    maintenance action, the layout that makes MULTI-column pruning
+    work: range-partitioning on one column gives that column tight
+    per-file [min, max] and leaves every other column's spread full,
+    so predicates on the second column prune nothing. Interleaving the
+    bits of all ``cols`` into one sort key gives every listed column
+    locality, so each file's footer stats are tight on ALL of them and
+    :func:`plan_files` prunes on any one (pytest pins the file-subset
+    claim on both axes).
+
+    Numeric/timestamp columns only (min-max normalized to ``bits``-bit
+    integer ranks in one scalar aggregation — the standard
+    linear-scaling approach; ``bits × len(cols)`` must fit in 63).
+    Rows are unchanged except that pending merge-on-read deletes are
+    materialized away (the rewrite reads post-filter rows — a z-order
+    pass doubles as ``apply_deletes``). Commits as a normal overwrite
+    snapshot (mode ``overwrite``, ``zorder`` recorded in the manifest);
+    the pre-zorder version still time-travels."""
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds 63")
+    df = read_table(spark, table)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    scale = float((1 << bits) - 1)
+    z = None
+    for ci, c in enumerate(cols):
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        span = (float(mx) - float(mn)) or 1.0
+        rank = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(scale)
+        ).cast("long")
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
+            )
+            z = term if z is None else z + term  # disjoint bits: + is OR
+    clustered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return write_table(
+        clustered, table, mode="overwrite", extra={"zorder": list(cols), "zorder_bits": bits}
+    )
+
+
 def vacuum(
     table: str, keep_versions: int = 1, orphan_grace_seconds: float = 3600.0
 ) -> list[str]:

@@ -961,3 +961,38 @@ def test_side_manifest_for_large_file_lists(spark, docs, tmp_path, monkeypatch):
     st.vacuum(table, keep_versions=2)
     assert not os.path.exists(os.path.join(snap_dir, s1["files_ref"]))
     assert st.read_table(spark, table).count() == 19
+
+
+def test_zorder_multi_column_pruning(spark, tmp_path):
+    """Z-order layout: after clustering on (x, y), predicates on
+    EITHER column prune the file list; the range-by-x layout prunes
+    only on x. Row content identical."""
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 37) % 128).alias("y"),
+    )
+    table = str(tmp_path / "t")
+    st.write_table(df.repartitionByRange(16, "x"), table)
+    n = len(st.load_snapshot(table)["files"])
+    _, fx = st.plan_files(table, prune=("x", "between", (10, 20)))
+    _, fy = st.plan_files(table, prune=("y", "between", (10, 20)))
+    assert len(fx) < n          # x-sorted layout prunes on x...
+    assert len(fy) == n         # ...but not at all on y
+
+    s = st.zorder_table(spark, table, ["x", "y"], bits=7, n_files=16)
+    assert s["zorder"] == ["x", "y"]
+    nz = len(s["files"])
+    _, zx = st.plan_files(table, prune=("x", "between", (10, 20)))
+    _, zy = st.plan_files(table, prune=("y", "between", (10, 20)))
+    assert len(zx) < nz and len(zy) < nz   # BOTH axes prune now
+    assert len(zy) < n                      # strictly better than before
+    # rows unchanged; pre-zorder version still time-travels
+    assert st.read_table(spark, table).count() == 20000
+    got = (
+        st.read_table(spark, table, prune=("y", "between", (10, 20)))
+        .where("y between 10 and 20")
+        .count()
+    )
+    assert got == df.where("y between 10 and 20").count()
+    assert st.read_table(spark, table, version=1).count() == 20000
