@@ -27,6 +27,9 @@ NAMES = [
     "table_schema_evo",
     "table_merge",
     "table_incremental",
+    "table_update",
+    "table_delete_mor",
+    "table_zorder",
     "domain_caps_salted",
 ]
 
@@ -50,12 +53,15 @@ def main():
     print("|---|---|---|")
     for name, b, m in rows:
         print(f"| {name} | {b:.2f} | {m:.2f} |")
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), d), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snaptable"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapdelete"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snappart"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapevo"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapmerge"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapinc"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapupdate"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapmor"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "bootleg_spark_snapzorder"), ignore_errors=True)
     spark.stop()
 
 
