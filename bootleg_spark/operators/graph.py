@@ -94,3 +94,93 @@ def degree_stats(
         )
         .withColumn("total_deg", (F.col("out_deg") + F.col("in_deg")).cast("long"))
     )
+
+
+def pagerank(
+    triples: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid, rank): fixed-iteration PageRank over the DISTINCT edge set
+    subj→obj — entity centrality, the standard importance prior for KG
+    consumers (and exactly the popularity signal Bootleg's tail-slice
+    analysis contrasts against). Variant pinned for the oracle: rank⁰ =
+    1/N; rankⁱ⁺¹(q) = (1−d)/N + d·Σ_{p→q} rankⁱ(p)/outdeg(p); dangling
+    mass is NOT redistributed (the simple formulation — deterministic
+    and engine-portable); ranks rounded to 6 at the end only.
+
+    Scale shape: per iteration one join of the O(V) rank table to the
+    edge list + one map-side-combined aggregation at node grain —
+    never materializing anything at path grain; each iteration's ranks
+    are eagerly ``localCheckpoint``-ed so the plan stays O(1) per
+    round (the round-2 lineage lesson). The DuckDB oracle mirrors the
+    same recurrence with the iterations UNROLLED as chained CTEs
+    (recursive CTEs cannot aggregate over their own reference)."""
+    edges = (
+        triples.select(F.col(subj_col).alias("_s"), F.col(obj_col).alias("_o"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("_s").alias("qid"))
+        .unionByName(edges.select(F.col("_o").alias("qid")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("qid", "_s"), "_s")
+            .join(out_deg, "_s")
+            .groupBy(F.col("_o").alias("qid"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "qid", "left")
+            .select(
+                "qid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("qid", F.round("rank", 6).alias("rank"))
+
+
+def connected_components(
+    triples: DataFrame,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid, component): weakly connected components of the KG —
+    component id = the lexicographically smallest qid reachable
+    ignoring edge direction. Reuses the dedup suite's pointer-jumping
+    min-label propagation (O(log n) rounds, label table at O(V)
+    grain), which is type-agnostic: qid strings order lexicographically
+    exactly as the oracle's ``min()`` does."""
+    from bootleg_spark.operators.dedup import dup_clusters
+
+    pairs = triples.select(
+        F.col(subj_col).alias("id_a"), F.col(obj_col).alias("id_b")
+    ).where(F.col("id_a") != F.col("id_b"))
+    comp = dup_clusters(pairs)
+    # dup_clusters labels only nodes with at least one edge; self-loop
+    # -only nodes are their own singleton component
+    all_nodes = (
+        triples.select(F.col(subj_col).alias("qid"))
+        .unionByName(triples.select(F.col(obj_col).alias("qid")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comp.withColumnRenamed("id", "qid"), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("cluster_id"), F.col("qid")).alias("component"),
+        )
+    )

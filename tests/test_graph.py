@@ -55,3 +55,53 @@ def test_degree_stats(spark, kg):
         "e": (0, 1, 1),
         "f": (1, 0, 1),
     }
+
+
+def test_pagerank_matches_numpy_model(spark):
+    """Fixed-iteration PageRank vs an independent dense numpy power
+    iteration on a small graph (same variant: no dangling
+    redistribution, rank0 = 1/N)."""
+    import numpy as np
+    from bootleg_spark.operators.graph import pagerank
+
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "A")]
+    tri = spark.createDataFrame(
+        [(s, "rel", o) for s, o in edges], "subj_qid string, pred string, obj_qid string"
+    )
+    got = {r["qid"]: r["rank"] for r in pagerank(tri, n_iter=10).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(10):
+        nxt = np.full(N, (1.0 - d) / N)
+        for s, o in edges:
+            nxt[idx[o]] += d * r[idx[s]] / outdeg[idx[s]]
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - round(r[idx[n]], 6)) <= 1e-6, (n, got[n], r[idx[n]])
+    # importance ordering is the intuitive one: A and C dominate
+    assert got["A"] > got["B"] and got["C"] > got["B"] > got["D"]
+
+
+def test_connected_components_weak(spark):
+    """Weak components ignore direction; singleton self-loop nodes are
+    their own component; component = min reachable qid."""
+    from bootleg_spark.operators.graph import connected_components
+
+    tri = spark.createDataFrame(
+        [
+            ("B", "r", "A"),   # component A (undirected reach)
+            ("C", "r", "B"),
+            ("X", "r", "Y"),   # component X
+            ("Z", "r", "Z"),   # self-loop singleton
+        ],
+        "subj_qid string, pred string, obj_qid string",
+    )
+    got = {r["qid"]: r["component"] for r in connected_components(tri).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X", "Z": "Z"}
