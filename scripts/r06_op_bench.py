@@ -31,6 +31,8 @@ NAMES = [
     "table_delete_mor",
     "table_zorder",
     "domain_caps_salted",
+    "kg_pagerank",
+    "kg_components",
 ]
 
 
