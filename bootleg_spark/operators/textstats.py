@@ -246,3 +246,43 @@ def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "do
             F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
         )
     )
+
+
+def quality_model_score(
+    docs: DataFrame,
+    weights: tuple = (-2.0, 0.35, 0.15, 3.0),
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, keep): MODEL-based quality scoring — the
+    fastText/CCNet-classifier pattern every production corpus recipe
+    layers over heuristics. A logistic model over interpretable
+    scan-level features:
+
+        z = w0 + w1·ln(1 + n_words) + w2·mean_word_len
+               + w3·stopword_ratio            score = σ(z), rounded 6
+
+    The WEIGHTS are data, not code — swap in trained coefficients the
+    same way the encoder seam swaps ``.npz`` weights (the defaults are
+    a deterministic stand-in: length-positive, stopword-positive,
+    biased negative so junk scores < 0.5). The plan is the point: the
+    whole model evaluates INSIDE the scan projection as codegen
+    expressions (features rounded to 6 first, exactly as
+    :func:`quality_exprs` — no UDF, no second pass, no shuffle), so at
+    100 TB the classifier costs the same as any other column. ``keep``
+    is ``score ≥ threshold`` computed on the ROUNDED score, so the
+    boolean is engine-portable too."""
+    w0, w1, w2, w3 = (float(w) for w in weights)
+    e = quality_exprs(text_col)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.log1p(e["n_words"])
+        + F.lit(w2) * e["mean_word_len"]
+        + F.lit(w3) * e["stopword_ratio"]
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        score.alias("score"),
+    ).withColumn("keep", F.col("score") >= F.lit(float(threshold)))

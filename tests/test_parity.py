@@ -113,3 +113,32 @@ def test_encoder_swap_through_the_seam(spark):
     # and the swapped encoder actually encodes differently from the default
     probe = ["alpha beta gamma", "delta"]
     assert not np.allclose(enc(probe, S.EMB_DIM), featurize_texts(probe, S.EMB_DIM))
+
+
+def test_quality_model_score_matches_numpy(spark):
+    """Logistic quality model vs an independent numpy evaluation of
+    the same features; keep is the rounded-score threshold."""
+    import math
+
+    from bootleg_spark.operators.textstats import quality_model_score
+
+    rows = [
+        (0, "the cat sat on the mat quietly today"),
+        (1, "x"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb"),
+        (3, "this is a perfectly ordinary sentence with the usual words and length"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["score"], r["keep"]) for r in quality_model_score(df).collect()}
+    stop = {"the", "and", "of", "is", "to"}
+    for i, text in rows:
+        words = text.split(" ")
+        n = len(words)
+        mean_len = round((len(text) - (n - 1)) / n, 6)
+        sr = round(sum(w in stop for w in words) / n, 6)
+        z = -2.0 + 0.35 * math.log1p(n) + 0.15 * mean_len + 3.0 * sr
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(got[i][0] - score) <= 1e-6, (i, got[i][0], score)
+        assert got[i][1] == (score >= 0.5)
+    # sanity: the junk one-word doc is rejected, the ordinary one kept
+    assert not got[1][1] and got[3][1]
