@@ -286,3 +286,80 @@ def quality_model_score(
         F.col(id_col).alias("id"),
         score.alias("score"),
     ).withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, cross_entropy, n_bigrams): per-document cross-entropy under
+    an add-k-smoothed BIGRAM language model — the CCNet/KenLM
+    perplexity-filter pattern (documents far from the reference
+    distribution score high and get cut). ``ref`` is the training
+    corpus for the model (defaults to ``docs`` itself — self-scored
+    outlier detection; pass a clean reference corpus for the CCNet
+    shape; like the encoder and quality-model seams, the model here is
+    DATA — two count dims — not code).
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+        cross_entropy(doc) = mean over bigrams of −ln P, rounded 6
+
+    Tokens are lowercased whitespace words; documents with fewer than
+    two tokens have no bigrams and are absent from the output (exactly
+    as in the oracle). Scale shape: the model is two map-side-combined
+    count aggregations (unigram and bigram dims); scoring is one
+    explode to bigram grain + two dim joins (broadcast when the vocab
+    allows, shuffle-with-AQE otherwise) + one node-grain aggregation —
+    nothing at corpus×vocab grain, no UDF anywhere."""
+    ref = ref if ref is not None else docs
+
+    def words(col):
+        return F.split(F.lower(F.col(col)), " ")
+
+    def bigram_rows(frame, with_id):
+        w = words(text_col)
+        pairs = F.zip_with(
+            F.expr(f"slice(split(lower({text_col}), ' '), 1, size(split(lower({text_col}), ' ')) - 1)"),
+            F.expr(f"slice(split(lower({text_col}), ' '), 2, size(split(lower({text_col}), ' ')) - 1)"),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        cols = ([F.col(id_col).alias("id")] if with_id else []) + [
+            F.explode(pairs).alias("bg")
+        ]
+        out = frame.where(F.size(w) >= 2).select(*cols)
+        return out.select(
+            *(["id"] if with_id else []), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    uni = (
+        ref.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    bi = (
+        bigram_rows(ref, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    v = uni.count()
+    scored = (
+        bigram_rows(docs, with_id=True)
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni, F.col("w1") == F.col("w"), "left")
+        .select(
+            "id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0.0)) + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.lit(0.0)) + F.lit(k * v))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )

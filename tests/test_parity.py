@@ -142,3 +142,46 @@ def test_quality_model_score_matches_numpy(spark):
         assert got[i][1] == (score >= 0.5)
     # sanity: the junk one-word doc is rejected, the ordinary one kept
     assert not got[1][1] and got[3][1]
+
+
+def test_lm_cross_entropy_matches_counter_model(spark):
+    """Bigram LM cross-entropy vs an independent Counter-based model:
+    add-1 smoothing, lowercased tokens, sub-2-token docs absent, and a
+    clean external reference corpus changes the scores as expected."""
+    import math
+    from collections import Counter
+
+    from bootleg_spark.operators.textstats import lm_cross_entropy
+
+    rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "dog"), (3, "THE cat sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["cross_entropy"], r["n_bigrams"])
+        for r in lm_cross_entropy(df).collect()
+    }
+    toks = {i: t.lower().split(" ") for i, t in rows}
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter(p for t in toks.values() for p in zip(t, t[1:]))
+    V = len(uni)
+    for i, t in toks.items():
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            assert i not in got
+            continue
+        ce = round(
+            sum(-math.log((bi[p] + 1) / (uni[p[0]] + V)) for p in bgs) / len(bgs), 6
+        )
+        assert abs(got[i][0] - ce) <= 1e-6 and got[i][1] == len(bgs)
+    # an unseen-bigram doc scores WORSE against an external reference
+    ref = df.where("doc_id = 0")
+    ext = {
+        r["id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(
+            spark.createDataFrame(
+                [(10, "the cat sat"), (11, "zebra quantum flux")],
+                "doc_id long, text string",
+            ),
+            ref=ref,
+        ).collect()
+    }
+    assert ext[11] > ext[10]
