@@ -33,6 +33,8 @@ NAMES = [
     "domain_caps_salted",
     "kg_pagerank",
     "kg_components",
+    "quality_model",
+    "lm_perplexity",
 ]
 
 
