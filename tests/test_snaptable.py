@@ -996,3 +996,86 @@ def test_zorder_multi_column_pruning(spark, tmp_path):
     )
     assert got == df.where("y between 10 and 20").count()
     assert st.read_table(spark, table, version=1).count() == 20000
+
+
+def test_partition_transform_spark_python_agreement(spark):
+    """The hinge of hidden-partitioning correctness: the WRITE-side
+    Spark transform expression and the QUERY-side Python literal
+    transform must agree on every value — otherwise pruning silently
+    drops matching files. Seeded random sweep over both transforms."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(1234)
+    # days: random epoch seconds across 1970..2100, incl. day edges
+    secs = [rng.randrange(0, 4_102_444_800) for _ in range(300)]
+    secs += [0, 86399, 86400, 4_102_444_799]
+    spec_d = st._norm_partition_spec([("ts", "days")])[0]
+    df = spark.createDataFrame([(s,) for s in secs], "sec long").select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "sec"
+    )
+    got = {
+        r["sec"]: r["d"]
+        for r in df.select("sec", st._transform_expr(spec_d).alias("d")).collect()
+    }
+    for s in secs:
+        as_dt = dt.datetime.fromtimestamp(s, dt.timezone.utc)
+        assert got[s] == st._transform_value(spec_d, as_dt), (s, as_dt)
+        # string form (what a query literal looks like)
+        assert got[s] == st._transform_value(
+            spec_d, as_dt.strftime("%Y-%m-%d %H:%M:%S")
+        ), s
+
+    # bucket: random url-ish strings, several bucket counts
+    strings = [
+        f"https://site{rng.randrange(1000)}.org/p/{rng.randrange(10**6)}"
+        for _ in range(300)
+    ] + ["", "a", "ünïcode/päth?q=1"]
+    for n in (2, 8, 64):
+        spec_b = st._norm_partition_spec([("url", "bucket", n)])[0]
+        dfb = spark.createDataFrame([(u,) for u in strings], "url string")
+        gotb = {
+            r["url"]: r["b"]
+            for r in dfb.select(
+                "url", st._transform_expr(spec_b).alias("b")
+            ).collect()
+        }
+        for u in strings:
+            assert gotb[u] == st._transform_value(spec_b, u), (u, n)
+
+
+def test_concurrent_threaded_appenders_all_land(spark, docs, tmp_path):
+    """REAL concurrency (not simulated): six threads append
+    simultaneously; the optimistic loop must serialize them — every
+    commit lands at a distinct version, no rows lost or duplicated,
+    and the final snapshot references every thread's files."""
+    import threading
+
+    table = str(tmp_path / "t")
+    st.write_table(docs.where("grp = 0"), table)  # v1: 20 rows
+    results: dict[int, dict] = {}
+    errors: list = []
+
+    def appender(i):
+        try:
+            results[i] = st.write_table(
+                docs.where(F.col("doc_id") % 6 == i).coalesce(1),
+                table,
+                mode="append",
+                max_retries=20,
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    versions = sorted(r["version"] for r in results.values())
+    assert versions == [2, 3, 4, 5, 6, 7]  # all landed, all distinct
+    final = st.read_table(spark, table)
+    # 20 (grp=0 base) + all 100 docs appended across the 6 residues
+    assert final.count() == 120
+    assert final.where("grp = 0").count() == 40  # base + its residue copies
