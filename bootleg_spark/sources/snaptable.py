@@ -56,6 +56,7 @@ deployment.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -476,6 +477,19 @@ def _write_data_files(
     return new_files
 
 
+def _keep_nonempty(rewritten: list[dict], table: str) -> list[dict]:
+    """Drop zero-row rewrite outputs (Iceberg drops empty files): a data
+    file whose every row matched a DELETE/MERGE predicate rewrites to an
+    empty file — keeping it would bloat manifests and make partition
+    listings lie. No snapshot references these yet, so the bytes go
+    immediately rather than waiting for vacuum's orphan sweep."""
+    for e in rewritten:
+        if e["rows"] == 0:
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(table, e["path"]))
+    return [e for e in rewritten if e["rows"] > 0]
+
+
 def _check_append_schema(base: dict, df_schema) -> None:
     """Append-time schema rule (Iceberg add-column evolution): the
     incoming schema must contain every existing column with an
@@ -801,7 +815,7 @@ def _cow_rewrite(
         if key:
             for e in rewritten:
                 e["partition"] = dict(key)
-        new_files.extend(rewritten)
+        new_files.extend(_keep_nonempty(rewritten, table))
 
     for _ in range(max_retries):
         base_version = latest_version(table)
@@ -982,7 +996,7 @@ def apply_deletes(
         if key:
             for e in rewritten:
                 e["partition"] = dict(key)
-        new_files.extend(rewritten)
+        new_files.extend(_keep_nonempty(rewritten, table))
 
     for _ in range(max_retries):
         base_version = latest_version(table)
@@ -1308,7 +1322,7 @@ def merge_rows(
         if key:
             for e in rewritten:
                 e["partition"] = dict(key)
-        new_files.extend(rewritten)
+        new_files.extend(_keep_nonempty(rewritten, table))
     # the whole source (updates + inserts) goes through the normal
     # partitioned write path, so inserts land with correct layout;
     # aligned to the TABLE's schema and column order (extra source
@@ -1411,7 +1425,7 @@ def compact(
         if key:
             for e in rewritten:
                 e["partition"] = dict(key)
-        new_files.extend(rewritten)
+        new_files.extend(_keep_nonempty(rewritten, table))
     small_set = {f["path"] for f in small}
     for _ in range(max_retries):
         base_version = latest_version(table)
@@ -1575,3 +1589,53 @@ def vacuum(
             os.unlink(full)
             deleted.append(rel)
     return deleted
+
+
+def history_table(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg's ``tbl.history``/``snapshots`` metadata table: one row
+    per retained version — (version, parent, mode, committed_at,
+    total_rows, new_rows, n_files, n_delete_files, stream_batch_id).
+    Metadata only (reads the manifests, never a data file); the ops
+    surface for auditing what happened to a table and when."""
+    rows = []
+    for v in _list_versions(table):
+        s = load_snapshot(table, v)
+        rows.append(
+            (
+                v,
+                s.get("parent"),
+                s.get("mode"),
+                float(s["committed_at"]) if s.get("committed_at") is not None else None,
+                s.get("total_rows"),
+                s.get("new_rows"),
+                len(s.get("files") or []),
+                len(s.get("delete_files") or []),
+                s.get("stream_batch_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, parent long, mode string, committed_at double, "
+        "total_rows long, new_rows long, n_files long, n_delete_files long, "
+        "stream_batch_id long",
+    )
+
+
+def files_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Iceberg's ``tbl.files`` metadata table for one snapshot: one row
+    per data file — (path, rows, partition JSON, stats JSON). The
+    screen an operator points at a hot table to see skew, partition
+    balance, and small-file pressure without touching data."""
+    snap = load_snapshot(table, version)
+    rows = [
+        (
+            e["path"],
+            e["rows"],
+            json.dumps(e.get("partition")) if e.get("partition") else None,
+            json.dumps(e.get("stats", {}), sort_keys=True),
+        )
+        for e in snap["files"]
+    ]
+    return spark.createDataFrame(
+        rows, "path string, rows long, partition string, stats string"
+    )

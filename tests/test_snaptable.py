@@ -1079,3 +1079,25 @@ def test_concurrent_threaded_appenders_all_land(spark, docs, tmp_path):
     # 20 (grp=0 base) + all 100 docs appended across the 6 residues
     assert final.count() == 120
     assert final.where("grp = 0").count() == 40  # base + its residue copies
+
+
+def test_metadata_tables_history_and_files(spark, docs, tmp_path):
+    """The metadata-table surface: history rows mirror the commit
+    sequence (modes, counts, watermark); files rows mirror the
+    manifest (rows, partition values) — all without data I/O."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table, partition_by=[("grp", "identity")])
+    st.write_table(docs.where("grp = 0"), table, mode="append")
+    st.delete_rows(spark, table, "grp = 4")
+    hist = {r["version"]: r for r in st.history_table(spark, table).collect()}
+    assert [hist[v]["mode"] for v in (1, 2, 3)] == ["overwrite", "append", "delete"]
+    assert hist[3]["parent"] == 2 and hist[3]["total_rows"] == 100
+    assert hist[1]["committed_at"] <= hist[2]["committed_at"] <= hist[3]["committed_at"]
+    files = st.files_table(spark, table).collect()
+    assert sum(r["rows"] for r in files) == 100
+    import json as _json
+    parts = {_json.loads(r["partition"])["grp"] for r in files}
+    assert parts == {0, 1, 2, 3}  # grp=4 deleted; identity partitioning visible
+    # time travel: v1's files still include grp=4
+    f1 = st.files_table(spark, table, version=1).collect()
+    assert {_json.loads(r["partition"])["grp"] for r in f1} == {0, 1, 2, 3, 4}
