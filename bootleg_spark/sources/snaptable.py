@@ -1092,8 +1092,11 @@ def read_table(
     table: str,
     version: int | None = None,
     prune: tuple[str, str, object] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; ``version=`` time-travels).
+    """Read a snapshot (latest by default; ``version=`` time-travels;
+    ``ref=`` reads what a named tag/branch points at — Iceberg's
+    ``VERSION AS OF 'ref'``).
     ``prune`` cuts the file list via manifest stats + partition values
     before Spark plans the scan — the predicate itself must still be
     applied by the caller's ``.where`` (stats pruning is a superset
@@ -1105,6 +1108,10 @@ def read_table(
     read-time schema alignment). Pending merge-on-read delete files
     (:func:`delete_rows_mor`) are applied as broadcast anti-joins —
     the MOR read tax, removed by :func:`apply_deletes`."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version= or ref=, not both")
+        version = resolve_ref(table, ref)
     snap, files = plan_files(table, version, prune)
     from pyspark.sql.types import StructType
 
@@ -1551,8 +1558,14 @@ def vacuum(
 
     versions = _list_versions(table)
     deleted: list[str] = []
-    if len(versions) > keep_versions:
-        keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    # tags/branches PIN their target snapshot (Iceberg expire-snapshots
+    # respects refs): a version outside the keep window survives while
+    # any ref points at it
+    pinned = {r["version"] for r in list_refs(table).values()}
+    keep_set = set(versions[-keep_versions:]) | (pinned & set(versions))
+    drop = [v for v in versions if v not in keep_set]
+    if drop:
+        keep = sorted(keep_set)
         referenced = set()
         for v in keep:
             referenced.update(_all_rels(load_snapshot(table, v)))
@@ -1572,10 +1585,13 @@ def vacuum(
             os.unlink(_snap_path(table, v))
     # orphan sweep: anything in data/ no RETAINED snapshot references
     # and old enough that no in-flight commit can still be about to
-    # reference it
+    # reference it; STAGED (write-audit-publish) files are referenced
+    # by their staging manifest — protected until published or dropped
     retained_refs = set()
     for v in _list_versions(table):
         retained_refs.update(_all_rels(load_snapshot(table, v)))
+    for w in list_staged(table):
+        retained_refs.update(f["path"] for f in load_staged(table, w)["files"])
     data_dir = os.path.join(table, "data")
     now = _time.time()
     if os.path.isdir(data_dir):
@@ -1639,3 +1655,322 @@ def files_table(spark: SparkSession, table: str, version: int | None = None) -> 
     return spark.createDataFrame(
         rows, "path string, rows long, partition string, stats string"
     )
+
+# ---------------------------------------------------------------------------
+# Named refs (tags / branches), rollback, and write-audit-publish.
+#
+# Iceberg semantics throughout: a TAG is an immutable named pointer to a
+# snapshot (release pinning — "the corpus we trained run 47 on"); a
+# BRANCH is a movable pointer (an environment — "prod reads `serving`");
+# ROLLBACK is a new commit that restores an older snapshot's file set
+# (metadata-only, the audit trail keeps both); WRITE-AUDIT-PUBLISH
+# stages an append invisibly, lets a validation job read exactly the
+# incoming files, and publishes (or drops) them atomically — Iceberg's
+# `spark.wap.id` workflow. No reference counterpart: the reference has
+# no table format at all; these are the table-ops layer a production
+# 10^12-row corpus operates through.
+# ---------------------------------------------------------------------------
+
+REFS_DIR = "_refs"
+_REF_NAME_RE = None  # compiled lazily (module imports stay minimal)
+
+
+def _ref_path(table: str, name: str) -> str:
+    global _REF_NAME_RE
+    if _REF_NAME_RE is None:
+        import re
+
+        _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not _REF_NAME_RE.match(name):
+        raise ValueError(
+            f"ref name {name!r} — use letters/digits/dot/dash/underscore"
+        )
+    return os.path.join(table, REFS_DIR, f"{name}.json")
+
+
+def _write_ref(table: str, name: str, ref: dict, replace: bool) -> None:
+    """Atomically persist a ref. ``replace=False`` uses the same
+    create-exclusive ``os.link`` as snapshot publishes, so two racers
+    cannot both create one name; ``replace=True`` (branch moves) uses
+    ``os.replace`` — atomic last-writer-wins, the Iceberg
+    update-a-branch contract."""
+    path = _ref_path(table, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(
+        table, REFS_DIR, f".{name}-{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(ref, f)
+    if replace:
+        os.replace(tmp, path)
+        return
+    try:
+        os.link(tmp, path)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(f"ref {name!r} already exists on {table}")
+
+
+def _load_ref(table: str, name: str) -> dict:
+    try:
+        with open(_ref_path(table, name)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise KeyError(f"no ref {name!r} on {table}") from None
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> dict:
+    """Pin an IMMUTABLE named pointer at ``version`` (default: latest).
+    Tags protect their snapshot from :func:`vacuum` until dropped —
+    the release-pinning half of Iceberg refs."""
+    snap = load_snapshot(table, version)  # validates existence
+    import time as _time
+
+    ref = {
+        "name": name,
+        "type": "tag",
+        "version": snap["version"],
+        "created_at": round(_time.time(), 3),
+    }
+    _write_ref(table, name, ref, replace=False)
+    return ref
+
+
+def create_branch(table: str, name: str, version: int | None = None) -> dict:
+    """Create a MOVABLE named pointer at ``version`` (default: latest).
+    Move it later with :func:`set_branch`; like tags it pins its
+    current target against :func:`vacuum`."""
+    snap = load_snapshot(table, version)
+    import time as _time
+
+    ref = {
+        "name": name,
+        "type": "branch",
+        "version": snap["version"],
+        "created_at": round(_time.time(), 3),
+    }
+    _write_ref(table, name, ref, replace=False)
+    return ref
+
+
+def set_branch(table: str, name: str, version: int) -> dict:
+    """Move branch ``name`` to ``version`` (fast-forward or rewind —
+    the caller decides the policy; the primitive is an atomic
+    pointer swap). Refuses to move a tag: tags are immutable."""
+    ref = _load_ref(table, name)
+    if ref["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a {ref['type']} — tags are immutable")
+    load_snapshot(table, version)  # must exist
+    import time as _time
+
+    ref = {**ref, "version": version, "updated_at": round(_time.time(), 3)}
+    _write_ref(table, name, ref, replace=True)
+    return ref
+
+
+def resolve_ref(table: str, name: str) -> int:
+    """The snapshot version a tag/branch currently points at."""
+    return _load_ref(table, name)["version"]
+
+
+def list_refs(table: str) -> dict[str, dict]:
+    """All refs on the table, name → ref record."""
+    d = os.path.join(table, REFS_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json") and not fn.startswith("."):
+            with open(os.path.join(d, fn)) as f:
+                ref = json.load(f)
+            out[ref["name"]] = ref
+    return out
+
+
+def drop_ref(table: str, name: str) -> None:
+    """Delete a tag or branch. Its target snapshot becomes eligible for
+    :func:`vacuum` again (if outside the keep window)."""
+    _load_ref(table, name)  # KeyError if absent
+    os.unlink(_ref_path(table, name))
+
+
+def rollback_table(table: str, to_version: int, max_retries: int = 3) -> dict:
+    """Restore snapshot ``to_version`` as a NEW commit (Iceberg's
+    rollback): the new snapshot references exactly the target's data
+    files, delete files, schema, and partition spec — metadata-only, no
+    data is read or rewritten, and the versions in between stay in the
+    history for audit until vacuumed. The bad-deploy escape hatch: an
+    upstream job corrupted v7–v9, `rollback_table(t, 6)` serves v6's
+    bytes as v10 in milliseconds at any table size.
+
+    Streaming note: the replay watermark is the MAX ``stream_batch_id``
+    over retained snapshots (see :func:`commit_stream_batch`), so a
+    rollback does NOT lower it — a micro-batch whose rows were rolled
+    back stays acknowledged rather than silently re-appending. Rolling
+    back a streaming sink means you did not want those rows; re-ingest
+    explicitly if you did."""
+    target = load_snapshot(table, to_version)
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        snap = {
+            "format_version": FORMAT_VERSION,
+            "version": (base_version or 0) + 1,
+            "parent": base_version,
+            "mode": "rollback",
+            "schema": target["schema"],
+            "schema_json": target["schema_json"],
+            **(
+                {"partition_spec": target["partition_spec"]}
+                if target.get("partition_spec")
+                else {}
+            ),
+            **(
+                {"delete_files": target["delete_files"]}
+                if target.get("delete_files")
+                else {}
+            ),
+            "files": target["files"],
+            "total_rows": target["total_rows"],
+            "rolled_back_to": to_version,
+        }
+        if _try_publish(table, snap):
+            return snap
+    raise CommitConflict(
+        f"lost the commit race {max_retries} times rolling back {table}"
+    )
+
+
+# --- write-audit-publish -----------------------------------------------------
+
+def _wap_path(table: str, wap_id: str) -> str:
+    return os.path.join(table, SNAP_DIR, f"wap-{wap_id}.json")
+
+
+def stage_append(df: DataFrame, table: str, wap_id: str | None = None) -> dict:
+    """Write ``df``'s rows as data files and record them in a STAGED
+    manifest invisible to every reader — step one of write-audit-publish
+    (Iceberg's ``spark.wap.id`` workflow). The staged files inherit the
+    table's partition spec so publish is pure metadata. Audit with
+    :func:`read_staged`, then :func:`publish_staged` or
+    :func:`drop_staged`; until published, ``read_table``/time travel/
+    refs never see the rows, and :func:`vacuum` protects (not reclaims)
+    the staged files."""
+    import time as _time
+
+    base = load_snapshot(table)  # staging requires an existing table
+    _check_append_schema(base, df.schema)
+    new_files = _write_data_files(df, table, base.get("partition_spec"))
+    wap_id = wap_id or uuid.uuid4().hex[:12]
+    staged = {
+        "format_version": FORMAT_VERSION,
+        "wap_id": wap_id,
+        "staged_at": round(_time.time(), 3),
+        "base_version": base["version"],
+        "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
+        "files": new_files,
+        "new_rows": sum(f["rows"] for f in new_files),
+    }
+    tmp = os.path.join(table, SNAP_DIR, f".wap-{wap_id}-{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(staged, f)
+    try:
+        os.link(tmp, _wap_path(table, wap_id))
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(f"staged write {wap_id!r} already exists on {table}")
+    return staged
+
+
+def load_staged(table: str, wap_id: str) -> dict:
+    try:
+        with open(_wap_path(table, wap_id)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise KeyError(f"no staged write {wap_id!r} on {table}") from None
+
+
+def list_staged(table: str) -> list[str]:
+    d = os.path.join(table, SNAP_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        fn[len("wap-"):-len(".json")]
+        for fn in os.listdir(d)
+        if fn.startswith("wap-") and fn.endswith(".json")
+    )
+
+
+def read_staged(spark: SparkSession, table: str, wap_id: str) -> DataFrame:
+    """The audit surface: exactly the staged files, nothing else — the
+    validation job scans ONLY the incoming rows (null-rate checks,
+    dedup-against-self, PII scan) no matter how large the base table
+    is. That asymmetry is the whole point of WAP at 10^12 rows."""
+    from pyspark.sql.types import StructType
+
+    staged = load_staged(table, wap_id)
+    schema = StructType.fromJson(json.loads(staged["schema_json"]))
+    paths = [os.path.join(table, f["path"]) for f in staged["files"]]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def publish_staged(table: str, wap_id: str, max_retries: int = 3) -> dict:
+    """Atomically make a staged write visible: new snapshot = current
+    base's files + the staged files (pure metadata — no data I/O, so
+    publish is O(manifest) regardless of staged volume). The base may
+    have moved since staging; the optimistic loop re-derives it, and the
+    staged schema is re-checked against the CURRENT base (a concurrent
+    add-column evolution the staged data lacks aborts with a clear
+    error rather than publishing rows that silently drop the column).
+    On success the staging record is removed."""
+    from pyspark.sql.types import StructType
+
+    staged = load_staged(table, wap_id)
+    staged_schema = StructType.fromJson(json.loads(staged["schema_json"]))
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        base = load_snapshot(table, base_version)
+        _check_append_schema(base, staged_schema)
+        files = base["files"] + staged["files"]
+        snap = {
+            "format_version": FORMAT_VERSION,
+            "version": base_version + 1,
+            "parent": base_version,
+            "mode": "wap_publish",
+            "schema": staged["schema"],
+            "schema_json": staged["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
+            **(
+                {"delete_files": base["delete_files"]}
+                if base.get("delete_files")
+                else {}
+            ),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "new_rows": staged["new_rows"],
+            "wap_id": wap_id,
+        }
+        if base.get("stream_batch_id") is not None:
+            snap["stream_batch_id"] = base["stream_batch_id"]
+        if _try_publish(table, snap):
+            os.unlink(_wap_path(table, wap_id))
+            return snap
+    raise CommitConflict(
+        f"lost the commit race {max_retries} times publishing {wap_id!r}"
+    )
+
+
+def drop_staged(table: str, wap_id: str) -> None:
+    """Abandon a staged write (the audit failed). The staging record is
+    removed immediately; its data files become orphans that
+    :func:`vacuum`'s sweep reclaims after the grace window."""
+    load_staged(table, wap_id)  # KeyError if absent
+    os.unlink(_wap_path(table, wap_id))

@@ -1101,3 +1101,103 @@ def test_metadata_tables_history_and_files(spark, docs, tmp_path):
     # time travel: v1's files still include grp=4
     f1 = st.files_table(spark, table, version=1).collect()
     assert {_json.loads(r["partition"])["grp"] for r in f1} == {0, 1, 2, 3, 4}
+
+
+def test_tags_branches_pin_and_read(spark, docs, tmp_path):
+    """Refs surface: a tag reads its pinned version forever; a branch
+    moves atomically; vacuum respects both as pins; drop_ref releases
+    the pin. Tags are immutable and names are single-create."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table)                                   # v1 full
+    st.create_tag(table, "release-1")
+    st.write_table(docs.where("grp = 0"), table, mode="overwrite")  # v2
+    st.create_branch(table, "serving", version=2)
+    st.write_table(docs.where("grp = 1"), table, mode="overwrite")  # v3
+
+    assert _rows(st.read_table(spark, table, ref="release-1")) == _rows(docs)
+    assert _rows(st.read_table(spark, table, ref="serving")) == _rows(
+        docs.where("grp = 0")
+    )
+    st.set_branch(table, "serving", 3)
+    assert _rows(st.read_table(spark, table, ref="serving")) == _rows(
+        docs.where("grp = 1")
+    )
+    with pytest.raises(ValueError, match="immutable"):
+        st.set_branch(table, "release-1", 3)
+    with pytest.raises(FileExistsError):
+        st.create_tag(table, "release-1", version=2)
+    with pytest.raises(ValueError, match="version= or ref="):
+        st.read_table(spark, table, version=1, ref="serving")
+
+    # vacuum keeps v1 (tagged) though outside the keep window; v2 goes
+    st.vacuum(table, keep_versions=1, orphan_grace_seconds=1e9)
+    assert st._list_versions(table) == [1, 3]
+    assert _rows(st.read_table(spark, table, ref="release-1")) == _rows(docs)
+    # dropping the tag releases the pin
+    st.drop_ref(table, "release-1")
+    st.vacuum(table, keep_versions=1, orphan_grace_seconds=1e9)
+    assert st._list_versions(table) == [3]
+    with pytest.raises(KeyError):
+        st.resolve_ref(table, "release-1")
+    assert set(st.list_refs(table)) == {"serving"}
+
+
+def test_rollback_is_metadata_only_new_commit(spark, docs, tmp_path):
+    """rollback_table restores an old snapshot's exact file set as a
+    NEW version without touching data; intermediate history survives
+    until vacuum; a later append stacks on the rolled-back state."""
+    table = str(tmp_path / "t")
+    s1 = st.write_table(docs, table)                                # v1
+    st.write_table(docs.where("grp = 4"), table, mode="overwrite")  # v2 "bad"
+    s3 = st.rollback_table(table, 1)                                # v3 = v1
+    assert s3["version"] == 3 and s3["mode"] == "rollback"
+    assert s3["rolled_back_to"] == 1
+    assert [f["path"] for f in s3["files"]] == [f["path"] for f in s1["files"]]
+    assert _rows(st.read_table(spark, table)) == _rows(docs)
+    # the bad version is still auditable via time travel
+    assert st.read_table(spark, table, version=2).count() == 20
+    # appends continue from the restored state
+    extra = docs.where("grp = 0").withColumn("doc_id", F.col("doc_id") + 1000)
+    st.write_table(extra, table, mode="append")
+    assert st.read_table(spark, table).count() == 120
+
+
+def test_wap_stage_audit_publish_and_drop(spark, docs, tmp_path):
+    """Write-audit-publish: staged rows are invisible to every reader
+    until publish; the audit reads ONLY the staged files; a failed
+    audit drops the stage and vacuum's orphan sweep reclaims the data
+    files; publish is metadata-only on top of a moved base."""
+    table = str(tmp_path / "t")
+    st.write_table(docs, table, partition_by=[("grp", "identity")])  # v1
+
+    bad = docs.where("grp = 2").withColumn("doc_id", F.col("doc_id") + 500)
+    staged_bad = st.stage_append(bad, table, wap_id="batch-bad")
+    assert staged_bad["new_rows"] == 20
+    # invisible: latest still reads 100 rows, and no new version exists
+    assert st.read_table(spark, table).count() == 100
+    assert st.latest_version(table) == 1
+    # audit surface = exactly the staged rows (with partition values
+    # inherited from the table's spec, ready for a metadata publish)
+    audited = st.read_staged(spark, table, "batch-bad")
+    assert audited.count() == 20
+    assert all(e.get("partition") == {"grp": 2} for e in staged_bad["files"])
+    # audit "fails" → drop; files become orphans, protected until then
+    staged_paths = [os.path.join(table, f["path"]) for f in staged_bad["files"]]
+    assert st.vacuum(table, orphan_grace_seconds=0.0) == []  # staged = pinned
+    st.drop_staged(table, "batch-bad")
+    swept = st.vacuum(table, orphan_grace_seconds=0.0)
+    assert sorted(swept) == sorted(f["path"] for f in staged_bad["files"])
+    assert not any(os.path.exists(p) for p in staged_paths)
+
+    # second batch passes audit; base moves between stage and publish
+    good = docs.where("grp = 3").withColumn("doc_id", F.col("doc_id") + 500)
+    st.stage_append(good, table, wap_id="batch-good")
+    st.delete_rows(spark, table, "grp = 0")                          # v2
+    pub = st.publish_staged(table, "batch-good")
+    assert pub["version"] == 3 and pub["mode"] == "wap_publish"
+    assert pub["wap_id"] == "batch-good"
+    expect = docs.where("grp != 0").unionByName(good)
+    assert _rows(st.read_table(spark, table)) == _rows(expect)
+    assert st.list_staged(table) == []
+    with pytest.raises(KeyError):
+        st.publish_staged(table, "batch-good")  # publish is one-shot
