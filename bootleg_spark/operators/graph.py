@@ -184,3 +184,124 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col("qid")).alias("component"),
         )
     )
+
+
+def triangle_counts(
+    triples: DataFrame,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid, triangles): per-entity triangle membership over the
+    UNDIRECTED simple graph (edge direction and predicates ignored,
+    self-loops and parallel edges collapsed) — the local-clustering
+    screen KG consumers run to find tightly-knit entity groups and to
+    QA extraction (a mention-linking error shows up as an implausible
+    triangle spike around a hub).
+
+    Scale shape — degree orientation (the MapReduce triangle-counting
+    pattern of Suri & Vassilvitskii, WWW'11): every undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    which makes the orientation acyclic and counts each triangle
+    exactly once at its minimum vertex. The payoff at 100 TB: a hub
+    with degree d contributes wedges only through its LOW-degree
+    neighbors (the hub is an oriented sink), so the wedge join's
+    fan-out is bounded by Σ outdeg² ≤ O(m^1.5) total instead of the
+    Σ d² blow-up of the naive neighbor join — the worst skew key is
+    structurally capped, not salted after the fact. Three shuffles
+    total: undirected dedup, degree join, wedge-closing equi-join."""
+    e = triples.select(F.col(subj_col).alias("_s"), F.col(obj_col).alias("_o"))
+    und = (
+        e.where(F.col("_s") != F.col("_o"))
+        .select(
+            F.least("_s", "_o").alias("a"), F.greatest("_s", "_o").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient a→b iff (deg, id) of a sorts first; struct comparison gives
+    # the lexicographic (degree, id) total order directly
+    ori = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("lo"), F.col("b").alias("hi"),
+                    F.col("db").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("lo"), F.col("a").alias("hi"),
+                    F.col("da").alias("dhi"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi", "e.dhi")
+    )
+    # wedge at the minimum vertex + closing edge. The wedge pair MUST be
+    # ordered by the SAME (degree, id) key the orientation used — order
+    # by raw id and the closing edge (hi1, hi2) may be oriented hi2→hi1
+    # whenever degrees disagree with id order, silently dropping the
+    # triangle. Each triangle then appears exactly once as
+    # (lo, hi1, hi2) with (dhi1, hi1) < (dhi2, hi2).
+    e1 = ori.select(F.col("lo"), F.col("hi").alias("hi1"), F.col("dhi").alias("dh1"))
+    e2 = ori.select(F.col("lo"), F.col("hi").alias("hi2"), F.col("dhi").alias("dh2"))
+    closing = ori.select(F.col("lo").alias("hi1"), F.col("hi").alias("hi2"))
+    tri = (
+        e1.join(e2, "lo")
+        .where(
+            F.struct(F.col("dh1"), F.col("hi1")) < F.struct(F.col("dh2"), F.col("hi2"))
+        )
+        .join(closing, ["hi1", "hi2"])
+    )
+    return (
+        tri.select(
+            F.explode(F.array("lo", "hi1", "hi2")).alias("qid")
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+
+
+def path_motifs(
+    triples: DataFrame,
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(pred1, pred2, n_paths): census of 2-hop typed paths
+    s ─pred1→ m ─pred2→ o with s ≠ o — the motif profile consumers use
+    to find compositional relations (works_with ∘ located_in ⇒
+    plausible employer-city inference) and to sanity-check extraction
+    balance across predicate pairs.
+
+    One self-equi-join on the mid entity + one map-side-combined
+    aggregation at predicate-pair grain (output cardinality =
+    |preds|², tiny). The join key is the mid entity, so hub entities
+    ARE the skew keys — at 100 TB this is exactly the AQE
+    skew-join-split case (both sides large, same key histogram), and
+    the degree_stats screen names the offenders in advance."""
+    r1 = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("pred1"),
+        F.col(obj_col).alias("_m"),
+    )
+    r2 = triples.select(
+        F.col(subj_col).alias("_m"),
+        F.col(pred_col).alias("pred2"),
+        F.col(obj_col).alias("_o"),
+    )
+    return (
+        r1.join(r2, "_m")
+        .where(F.col("_s") != F.col("_o"))
+        .groupBy("pred1", "pred2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
