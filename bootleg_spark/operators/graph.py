@@ -271,6 +271,98 @@ def triangle_counts(
     )
 
 
+def negative_samples(
+    triples: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    seed: int = 7,
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(subj_qid, rel, obj_qid, neg_idx, corrupted): TransE-style
+    negative triples for KG-embedding training — for each DISTINCT
+    positive triple and each ``j < k``, corrupt the head or the tail
+    (deterministic md5 coin) with a uniformly drawn replacement entity,
+    then drop any corruption that collides with a real positive (the
+    "filtered" setting of Bordes et al., NIPS'13 — the standard eval
+    protocol every KG-embedding trainer prepares exactly this way).
+    ``corrupted`` says which side was replaced; a self-replacement
+    (draw lands on the original entity) reproduces the positive and is
+    removed by the same filter.
+
+    Determinism / engine parity: the coin and the entity draw are
+    md5("seed:tag:s:r:o:j") uints (the sampling-suite idiom — no
+    rand(), no sampleBy), and the replacement is fetched by dense
+    entity index from :func:`bootleg_spark.operators.ids.dense_ids`
+    (rank of qid in sorted order — matches the oracle's
+    ``row_number() OVER (ORDER BY qid)`` without a single-partition
+    window). The uint32 % n draw carries negligible bias for
+    n ≪ 2^32 and is reproducible across engines, which the filtered
+    protocol cares about more than perfect uniformity.
+
+    Scale shape: entity dim (O(V), with V ≪ k·|triples|) is
+    broadcast into the replacement join; the positives expansion is a
+    shuffle-free projection + posexplode; the filter is ONE anti-join
+    shuffled on the full triple key. Hot entities do not skew anything
+    here — the join key is the uniform dense index, not the qid."""
+    from bootleg_spark.operators.ids import dense_ids
+
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    ent = dense_ids(
+        entities.select(F.col("qid")).distinct(), "qid", "eidx"
+    ).persist()
+    n = ent.count()
+    pos = triples.select(
+        F.col(subj_col).alias("subj_qid"),
+        F.col(pred_col).alias("rel"),
+        F.col(obj_col).alias("obj_qid"),
+    ).distinct()
+    key = F.concat_ws(
+        ":", "subj_qid", "rel", "obj_qid", F.col("neg_idx").cast("string")
+    )
+
+    def _draw(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:{tag}:"), key)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    expanded = (
+        pos.select(
+            "*", F.posexplode(F.array_repeat(F.lit(1), k)).alias("neg_idx", "_x")
+        )
+        .withColumn("neg_idx", F.col("neg_idx").cast("long"))
+        .withColumn("side", _draw("side") % 2)
+        .withColumn("ridx", _draw("ent") % n)
+        .drop("_x")
+    )
+    corrupted = (
+        expanded.join(
+            F.broadcast(ent.select(F.col("eidx").alias("ridx"), F.col("qid").alias("_repl"))),
+            "ridx",
+        )
+        .select(
+            F.when(F.col("side") == 0, F.col("_repl"))
+            .otherwise(F.col("subj_qid"))
+            .alias("subj_qid"),
+            "rel",
+            F.when(F.col("side") == 1, F.col("_repl"))
+            .otherwise(F.col("obj_qid"))
+            .alias("obj_qid"),
+            "neg_idx",
+            F.when(F.col("side") == 0, F.lit("head"))
+            .otherwise(F.lit("tail"))
+            .alias("corrupted"),
+        )
+    )
+    return corrupted.join(
+        pos, ["subj_qid", "rel", "obj_qid"], "left_anti"
+    )
+
+
 def path_motifs(
     triples: DataFrame,
     subj_col: str = "subj_qid",

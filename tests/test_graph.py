@@ -181,3 +181,50 @@ def test_path_motifs_counts(spark):
             k = (p1, p2)
             expect[k] = expect.get(k, 0) + 1
     assert got == expect
+
+
+def test_negative_samples_match_python_model(spark):
+    """Filtered TransE corruption, pinned against an independent
+    hashlib re-implementation of the md5 coin + draw on a small KG:
+    exact multiset equality, every survivor absent from the positives,
+    and rerun determinism."""
+    import hashlib
+
+    from bootleg_spark.operators.graph import negative_samples
+
+    edges = [
+        ("Q1", "r1", "Q2"), ("Q1", "r2", "Q3"), ("Q2", "r1", "Q3"),
+        ("Q3", "r1", "Q4"), ("Q4", "r2", "Q1"), ("Q2", "r2", "Q5"),
+        ("Q1", "r1", "Q2"),  # duplicate positive: must collapse
+    ]
+    kg = spark.createDataFrame(edges, "subj_qid string, rel string, obj_qid string")
+    ents = spark.createDataFrame(
+        [(q,) for q in ["Q1", "Q2", "Q3", "Q4", "Q5", "Q9"]], "qid string"
+    )
+    k, seed = 4, 11
+    got = sorted(
+        tuple(r) for r in negative_samples(kg, ents, k=k, seed=seed).collect()
+    )
+
+    ent_sorted = sorted({"Q1", "Q2", "Q3", "Q4", "Q5", "Q9"})
+    n = len(ent_sorted)
+    pos = sorted(set(edges))
+
+    def draw(tag, s, r, o, j):
+        h = hashlib.md5(f"{seed}:{tag}:{s}:{r}:{o}:{j}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    expect = []
+    for s, r, o in pos:
+        for j in range(k):
+            side = draw("side", s, r, o, j) % 2
+            repl = ent_sorted[draw("ent", s, r, o, j) % n]
+            ns, no = (repl, o) if side == 0 else (s, repl)
+            if (ns, r, no) not in set(pos):
+                expect.append((ns, r, no, j, "head" if side == 0 else "tail"))
+    assert got == sorted(expect)
+    assert all((s, r, o) not in set(pos) for s, r, o, _, _ in got)
+    again = sorted(
+        tuple(r) for r in negative_samples(kg, ents, k=k, seed=seed).collect()
+    )
+    assert again == got
