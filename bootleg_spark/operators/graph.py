@@ -363,6 +363,59 @@ def negative_samples(
     )
 
 
+def relation_cardinality(
+    triples: DataFrame,
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(rel, n_triples, n_heads, n_tails, tph, hpt, p_head_corrupt,
+    cardinality): per-relation mapping statistics over the DISTINCT
+    triple set — tph = triples per distinct head, hpt = triples per
+    distinct tail, classified 1-1 / 1-N / N-1 / N-M at the
+    conventional 1.5 threshold (Bordes et al. NIPS'13 §4 table 2;
+    Wang et al. AAAI'14's hpt/tph), plus TransH's Bernoulli trick
+    P(corrupt head) = tph/(tph+hpt) — algebraically n_tails/(n_heads+
+    n_tails), the form both engines compute to avoid float drift. The
+    1.5 threshold is applied in exact integer arithmetic
+    (2·n ≥ 3·n_heads) for the same reason; ratios are rounded to 6
+    for display only.
+
+    Scale shape: one aggregation at (rel) grain with two distinct
+    counts — Catalyst rewrites multi-distinct into an Expand +
+    two-level partial aggregation, so even a relation holding most of
+    the edge mass aggregates map-side first; output cardinality =
+    |relations| (tiny)."""
+    pos = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("rel"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    agg = pos.groupBy("rel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("s").cast("long").alias("n_heads"),
+        F.countDistinct("o").cast("long").alias("n_tails"),
+    )
+    many_t = (F.lit(2) * F.col("n_triples")) >= (F.lit(3) * F.col("n_heads"))
+    many_h = (F.lit(2) * F.col("n_triples")) >= (F.lit(3) * F.col("n_tails"))
+    return agg.select(
+        "rel",
+        "n_triples",
+        "n_heads",
+        "n_tails",
+        F.round(F.col("n_triples") / F.col("n_heads"), 6).alias("tph"),
+        F.round(F.col("n_triples") / F.col("n_tails"), 6).alias("hpt"),
+        F.round(
+            F.col("n_tails") / (F.col("n_heads") + F.col("n_tails")), 6
+        ).alias("p_head_corrupt"),
+        F.when(many_t & many_h, F.lit("N-M"))
+        .when(many_t, F.lit("1-N"))
+        .when(many_h, F.lit("N-1"))
+        .otherwise(F.lit("1-1"))
+        .alias("cardinality"),
+    )
+
+
 def path_motifs(
     triples: DataFrame,
     subj_col: str = "subj_qid",

@@ -228,3 +228,30 @@ def test_negative_samples_match_python_model(spark):
         tuple(r) for r in negative_samples(kg, ents, k=k, seed=seed).collect()
     )
     assert again == got
+
+
+def test_relation_cardinality_classes(spark):
+    """hpt/tph classification against hand-computed values, including a
+    duplicate triple (must collapse) and each of the four classes."""
+    from bootleg_spark.operators.graph import relation_cardinality
+
+    edges = (
+        # one2one: 2 triples, 2 heads, 2 tails
+        [("a", "one2one", "x"), ("b", "one2one", "y"), ("a", "one2one", "x")]
+        # one2n: 1 head fans to 3 tails -> tph 3, hpt 1
+        + [("h", "one2n", t) for t in ("t1", "t2", "t3")]
+        # n2one: 3 heads converge on 1 tail -> tph 1, hpt 3
+        + [(h, "n2one", "sink") for h in ("h1", "h2", "h3")]
+        # n2m: 2 heads x 2 tails full bipartite -> tph 2, hpt 2
+        + [(h, "n2m", t) for h in ("p", "q") for t in ("u", "v")]
+    )
+    kg = spark.createDataFrame(edges, "subj_qid string, rel string, obj_qid string")
+    got = {r["rel"]: r.asDict() for r in relation_cardinality(kg).collect()}
+    assert got["one2one"]["cardinality"] == "1-1"
+    assert got["one2one"]["n_triples"] == 2
+    assert got["one2n"]["cardinality"] == "1-N"
+    assert got["one2n"]["tph"] == 3.0 and got["one2n"]["hpt"] == 1.0
+    assert got["n2one"]["cardinality"] == "N-1"
+    assert got["n2one"]["p_head_corrupt"] == 0.25  # 1 tail / (3 heads + 1 tail)
+    assert got["n2m"]["cardinality"] == "N-M"
+    assert got["n2m"]["p_head_corrupt"] == 0.5
