@@ -416,6 +416,62 @@ def relation_cardinality(
     )
 
 
+def link_predict_scores(
+    triples: DataFrame,
+    max_degree: int | None = None,
+    subj_col: str = "subj_qid",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(qid_a, qid_b, common_neighbors, aa_score): common-neighbor and
+    Adamic–Adar scores for every NON-edge pair of the undirected simple
+    KG with at least one shared neighbor — the classical KG-completion
+    screen (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003): pairs
+    the graph does not yet connect, ranked by Σ_m 1/ln(deg(m)) over
+    shared neighbors m. Pairs are emitted once with qid_a < qid_b;
+    wedge centers necessarily have deg ≥ 2, so ln(deg) never hits 0.
+
+    Scale shape: one wedge self-join keyed on the center entity + one
+    aggregation at pair grain + one anti-join against the edge set.
+    The wedge fan-out is Σ deg(m)² and hubs dominate it, so
+    ``max_degree`` drops centers above a degree cap — principled here,
+    not a shortcut: AA already weights a center by 1/ln(deg), so a
+    10^6-degree hub contributes ~0.07 per wedge while costing 10^12
+    pairs; capping is what production link-prediction does (and the
+    capped run scores a strict subset of wedges, never inventing
+    pairs). Uncapped remains exact for the oracle."""
+    e = triples.select(F.col(subj_col).alias("_s"), F.col(obj_col).alias("_o"))
+    und = (
+        e.where(F.col("_s") != F.col("_o"))
+        .select(
+            F.least("_s", "_o").alias("a"), F.greatest("_s", "_o").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("m"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("m"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("dm"))
+    if max_degree is not None:
+        deg = deg.where(F.col("dm") <= max_degree)
+    centers = adj.join(deg, "m")
+    w1 = centers.select("m", F.col("v").alias("qid_a"), "dm")
+    w2 = centers.select("m", F.col("v").alias("qid_b"))
+    pairs = (
+        w1.join(w2, "m")
+        .where(F.col("qid_a") < F.col("qid_b"))
+        .groupBy("qid_a", "qid_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("dm"))), 6).alias("aa_score"),
+        )
+    )
+    return pairs.join(
+        und.select(F.col("a").alias("qid_a"), F.col("b").alias("qid_b")),
+        ["qid_a", "qid_b"],
+        "left_anti",
+    )
+
+
 def path_motifs(
     triples: DataFrame,
     subj_col: str = "subj_qid",

@@ -255,3 +255,53 @@ def test_relation_cardinality_classes(spark):
     assert got["n2one"]["p_head_corrupt"] == 0.25  # 1 tail / (3 heads + 1 tail)
     assert got["n2m"]["cardinality"] == "N-M"
     assert got["n2m"]["p_head_corrupt"] == 0.5
+
+
+def test_link_predict_adamic_adar(spark):
+    """AA scores pinned against brute-force enumeration on a small
+    undirected graph (direction and duplicate edges collapse), existing
+    edges excluded, degree cap drops hub-mediated wedges only."""
+    import itertools
+    import math
+
+    from bootleg_spark.operators.graph import link_predict_scores
+
+    edges = [
+        ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),  # triangle
+        ("a", "r", "d"), ("b", "r", "d"),                   # d near a,b
+        ("d", "r", "e"), ("e", "r", "a"),
+        ("b", "r", "a"),                                    # reverse dup
+    ]
+    kg = spark.createDataFrame(edges, "subj_qid string, rel string, obj_qid string")
+
+    und = {frozenset((s, o)) for s, _, o in edges if s != o}
+    nodes = sorted({v for p in und for v in p})
+    nbrs = {v: {u for p in und if v in p for u in p if u != v} for v in nodes}
+
+    def brute(cap=None):
+        out = {}
+        for x, y in itertools.combinations(nodes, 2):
+            if frozenset((x, y)) in und:
+                continue
+            common = [
+                m
+                for m in nbrs[x] & nbrs[y]
+                if cap is None or len(nbrs[m]) <= cap
+            ]
+            if common:
+                out[(x, y)] = (
+                    len(common),
+                    round(sum(1.0 / math.log(len(nbrs[m])) for m in common), 6),
+                )
+        return out
+
+    got = {
+        (r["qid_a"], r["qid_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in link_predict_scores(kg).collect()
+    }
+    assert got == brute()
+    got_cap = {
+        (r["qid_a"], r["qid_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in link_predict_scores(kg, max_degree=3).collect()
+    }
+    assert got_cap == brute(cap=3)
