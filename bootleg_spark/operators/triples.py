@@ -95,3 +95,53 @@ def salted_distinct(df: DataFrame, cols: list[str], salt_n: int = 32) -> DataFra
         cols + ["_salt"]
     )
     return local.drop("_salt").dropDuplicates(cols)
+
+
+def cooccurrence_pmi(ents: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """(qid_a, qid_b, n_pair, n_a, n_b, pmi, npmi): pointwise mutual
+    information of entity co-occurrence at page grain — the
+    distant-supervision signal relation-extraction pipelines rank
+    candidate entity pairs by before proposing NEW relations (Mintz et
+    al. ACL'09 start from exactly this table). Probabilities are doc
+    frequencies over N = distinct pages in ``ents``; pairs unordered
+    (qid_a < qid_b), emitted when seen on ≥ ``min_pair_count`` pages;
+    npmi = pmi / −ln(p(a,b)) (Bouma 2009), with the p(a,b)=1 corner
+    pinned to 1.0 before the division can hit −ln(1)=0. Rounds to 6
+    for display; npmi divides the UNROUNDED pmi.
+
+    Scale shape: the pair self-join is keyed on doc_id with fan-out
+    bounded by entities-per-page (``ents`` is already page-distinct —
+    the same bound triples_from_doc_entities relies on); pair counts
+    and entity counts are map-side-combined aggregations; the two
+    frequency lookups broadcast the O(V) entity-count dim. N is one
+    driver-side count of a dim-sized distinct — not a collect of data.
+    """
+    n_docs = ents.select("doc_id").distinct().count()
+    ent_counts = ents.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_q"))
+    e1 = ents.select("doc_id", F.col("qid").alias("qid_a"))
+    e2 = ents.select("doc_id", F.col("qid").alias("qid_b"))
+    pairs = (
+        e1.join(e2, "doc_id")
+        .where(F.col("qid_a") < F.col("qid_b"))
+        .groupBy("qid_a", "qid_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    ca = F.broadcast(ent_counts.select(F.col("qid").alias("qid_a"), F.col("n_q").alias("n_a")))
+    cb = F.broadcast(ent_counts.select(F.col("qid").alias("qid_b"), F.col("n_q").alias("n_b")))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.lit(float(n_docs)))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    npmi = F.when(F.col("n_pair") == n_docs, F.lit(1.0)).otherwise(
+        pmi / -F.log(F.col("n_pair").cast("double") / F.lit(float(n_docs)))
+    )
+    return (
+        pairs.join(ca, "qid_a")
+        .join(cb, "qid_b")
+        .select(
+            "qid_a", "qid_b", "n_pair", "n_a", "n_b",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(npmi, 6).alias("npmi"),
+        )
+    )

@@ -117,3 +117,42 @@ def test_profile_columns_nulls_and_cardinality(spark):
     # column subset
     sub = profile_columns(df, cols=["s"]).collect()
     assert len(sub) == 1 and sub[0]["column"] == "s"
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """PMI/NPMI pinned against a hand model, including the
+    min_pair_count cut and the p(a,b)=1 corner (npmi := 1.0)."""
+    import itertools
+    import math
+
+    from bootleg_spark.operators.triples import cooccurrence_pmi
+
+    docs = {
+        1: {"X", "Y", "Z"},
+        2: {"X", "Y"},
+        3: {"X", "Z"},
+        4: {"X", "Y", "W"},
+    }
+    rows = [(d, q) for d, qs in docs.items() for q in qs]
+    ents = spark.createDataFrame(rows, "doc_id long, qid string")
+    n = len(docs)
+    cnt = {q: sum(q in s for s in docs.values()) for s in [None] for q in {q for s2 in docs.values() for q in s2}}
+    expect = {}
+    for a, b in itertools.combinations(sorted(cnt), 2):
+        np_ = sum(a in s and b in s for s in docs.values())
+        if np_ < 2:
+            continue
+        pmi = math.log(np_ * n / (cnt[a] * cnt[b]))
+        npmi = 1.0 if np_ == n else pmi / -math.log(np_ / n)
+        expect[(a, b)] = (np_, cnt[a], cnt[b], round(pmi, 6), round(npmi, 6))
+    got = {
+        (r["qid_a"], r["qid_b"]): (r["n_pair"], r["n_a"], r["n_b"], r["pmi"], r["npmi"])
+        for r in cooccurrence_pmi(ents).collect()
+    }
+    assert got == expect
+    # X appears in every doc; a pair hitting n_pair == N pins npmi = 1.0
+    ents2 = spark.createDataFrame(
+        [(d, q) for d in (1, 2) for q in ("X", "Y")], "doc_id long, qid string"
+    )
+    got2 = cooccurrence_pmi(ents2).collect()
+    assert len(got2) == 1 and got2[0]["npmi"] == 1.0
