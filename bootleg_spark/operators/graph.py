@@ -472,6 +472,90 @@ def link_predict_scores(
     )
 
 
+def transductive_split(
+    triples: DataFrame,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+    seed: int = 13,
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(subj_qid, rel, obj_qid, split): deterministic train/valid/test
+    split of the DISTINCT triple set under the TRANSDUCTIVE contract
+    KG-embedding eval requires (the FB15k/WN18 construction): every
+    entity and every relation appearing in valid/test must also appear
+    in train, else the model has no embedding to score with. One-pass
+    demotion semantics (deterministic, engine-portable): an md5 uniform
+    draw buckets each triple at train_frac / train_frac+valid_frac;
+    any valid/test triple touching an entity or relation absent from
+    the TENTATIVE train set is demoted to train. Demotion only ever
+    grows train, so the final split still satisfies the contract
+    exactly (train's vocabulary is a superset of the tentative one).
+
+    Scale shape: the draw is a projection (no rand(), reproducible
+    across engines and retries — a task retry with rand() would
+    silently reshuffle the split); the tentative-train entity and
+    relation vocabularies are O(V) / O(R) dims, broadcast into three
+    membership lookups; one distinct shuffle on the triple key."""
+    if not (0 < train_frac < 1 and 0 < valid_frac < 1 - train_frac):
+        raise ValueError("need 0 < train_frac, train_frac + valid_frac < 1")
+    pos = triples.select(
+        F.col(subj_col).alias("subj_qid"),
+        F.col(pred_col).alias("rel"),
+        F.col(obj_col).alias("obj_qid"),
+    ).distinct()
+    hexs = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.concat_ws(":", "subj_qid", "rel", "obj_qid"),
+        )
+    )
+    u = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    tent = pos.withColumn(
+        "_tent",
+        F.when(u < train_frac, F.lit("train"))
+        .when(u < train_frac + valid_frac, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    ).persist()
+    tr = tent.where(F.col("_tent") == "train")
+    tr_ents = (
+        tr.select(F.col("subj_qid").alias("qid"))
+        .unionByName(tr.select(F.col("obj_qid").alias("qid")))
+        .distinct()
+    )
+    tr_rels = tr.select("rel").distinct()
+    flagged = (
+        tent.join(
+            F.broadcast(tr_ents.select(F.col("qid").alias("subj_qid")).withColumn("_s_ok", F.lit(1))),
+            "subj_qid",
+            "left",
+        )
+        .join(
+            F.broadcast(tr_ents.select(F.col("qid").alias("obj_qid")).withColumn("_o_ok", F.lit(1))),
+            "obj_qid",
+            "left",
+        )
+        .join(F.broadcast(tr_rels.withColumn("_r_ok", F.lit(1))), "rel", "left")
+    )
+    anchored = (
+        F.col("_s_ok").isNotNull()
+        & F.col("_o_ok").isNotNull()
+        & F.col("_r_ok").isNotNull()
+    )
+    return flagged.select(
+        "subj_qid",
+        "rel",
+        "obj_qid",
+        F.when(F.col("_tent") == "train", F.lit("train"))
+        .when(anchored, F.col("_tent"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def path_motifs(
     triples: DataFrame,
     subj_col: str = "subj_qid",

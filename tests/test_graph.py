@@ -305,3 +305,52 @@ def test_link_predict_adamic_adar(spark):
         for r in link_predict_scores(kg, max_degree=3).collect()
     }
     assert got_cap == brute(cap=3)
+
+
+def test_transductive_split_contract(spark):
+    """The split is deterministic, partitions the distinct triple set,
+    matches an independent hashlib model of draw+demotion, and the
+    final valid/test vocabulary is fully anchored in train."""
+    import hashlib
+
+    from bootleg_spark.operators.graph import transductive_split
+
+    edges = [
+        (f"Q{i}", f"r{i % 4}", f"Q{(i * 7) % 40}") for i in range(120)
+    ] + [("Q1", "r1", "Q2")]  # duplicate must collapse
+    kg = spark.createDataFrame(edges, "subj_qid string, rel string, obj_qid string")
+    got = {
+        (r["subj_qid"], r["rel"], r["obj_qid"]): r["split"]
+        for r in transductive_split(kg, seed=13).collect()
+    }
+    pos = sorted(set(edges))
+    assert len(got) == len(pos)
+
+    def draw(s, r, o):
+        h = hashlib.md5(f"13:{s}:{r}:{o}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    tent = {
+        t: ("train" if draw(*t) < 0.8 else "valid" if draw(*t) < 0.9 else "test")
+        for t in pos
+    }
+    tr_e = {x for t, sp in tent.items() if sp == "train" for x in (t[0], t[2])}
+    tr_r = {t[1] for t, sp in tent.items() if sp == "train"}
+    expect = {
+        t: (
+            sp
+            if sp == "train"
+            or (t[0] in tr_e and t[2] in tr_e and t[1] in tr_r)
+            else "train"
+        )
+        for t, sp in tent.items()
+    }
+    assert got == expect
+    # contract: final valid/test vocab anchored in FINAL train vocab
+    f_tr_e = {x for t, sp in got.items() if sp == "train" for x in (t[0], t[2])}
+    f_tr_r = {t[1] for t, sp in got.items() if sp == "train"}
+    for (s, r, o), sp in got.items():
+        if sp != "train":
+            assert s in f_tr_e and o in f_tr_e and r in f_tr_r
+    assert {"train", "valid", "test"} >= set(got.values())
+    assert len({sp for sp in got.values()}) >= 2
