@@ -556,6 +556,108 @@ def transductive_split(
     )
 
 
+def ranking_eval_popularity(
+    triples: DataFrame,
+    splits: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(rel, side, n_test, mrr, hits_1, hits_3, hits_10): FILTERED
+    link-prediction ranking metrics (the FB15k eval protocol, Bordes
+    et al. NIPS'13 §5) of the frequency baseline — every trained
+    KG-embedding model must beat exactly this table, so the eval
+    harness ships with the baseline wired in. For each test triple and
+    each side, the true entity is ranked among ALL entities by
+    (frequency DESC, qid ASC); the filtered rank then discounts known
+    positives of the same (anchor, rel) that outrank it — scoring a
+    true answer below another true answer is not an error.
+
+    The rank is computed WITHOUT materializing the |test| × |V|
+    candidate matrix the textbook formulation implies: the global
+    popularity order is a dense index (one :func:`dense_ids` pass over
+    the O(V) entity dim, broadcast into the lookups), so
+    base_rank = idx + 1 is a projection, and the filtered discount is
+    a join at (anchor, rel) grain whose fan-out is the relation's
+    hpt/tph — bounded per key, AQE-splittable on hub anchors. A
+    learned scorer slots into the same harness by replacing the dense
+    popularity index with model scores; the rank algebra is shared.
+
+    ``splits`` is :func:`transductive_split` output; rows with
+    split='test' are evaluated. mrr / hits_k are rounded to 6."""
+    from bootleg_spark.operators.ids import dense_ids
+
+    pos = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("rel"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    freq = (
+        pos.select(F.col("s").alias("qid"))
+        .unionByName(pos.select(F.col("o").alias("qid")))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # one sortable key: freq DESC then qid ASC == (10^15 - freq) zero-
+    # padded ASC, then qid ASC; freq ≪ 10^15 by construction
+    keyed = freq.withColumn(
+        "_key",
+        F.concat(
+            F.lpad((F.lit(10**15) - F.col("freq")).cast("string"), 16, "0"),
+            F.lit(":"),
+            F.col("qid"),
+        ),
+    )
+    idx = dense_ids(keyed, "_key", "idx").select("qid", "idx").persist()
+    test = splits.where(F.col("split") == "test").select(
+        F.col("subj_qid").alias("s"), "rel", F.col("obj_qid").alias("o")
+    )
+
+    def _side(anchor: str, true_col: str, side: str) -> DataFrame:
+        # base rank of the true entity in the global popularity order
+        t = test.join(
+            F.broadcast(idx.select(F.col("qid").alias(true_col), F.col("idx").alias("_it"))),
+            true_col,
+        )
+        # known positives sharing (anchor, rel); discount those ranked
+        # strictly better than the true entity
+        p = pos.select(
+            F.col(anchor), F.col("rel"), F.col(true_col).alias("_cand")
+        ).join(
+            F.broadcast(idx.select(F.col("qid").alias("_cand"), F.col("idx").alias("_ic"))),
+            "_cand",
+        )
+        disc = (
+            t.join(p, [anchor, "rel"])
+            .where(F.col("_ic") < F.col("_it"))
+            .groupBy("s", "rel", "o")
+            .agg(F.count(F.lit(1)).cast("long").alias("_disc"))
+        )
+        return (
+            t.join(disc, ["s", "rel", "o"], "left")
+            .select(
+                "rel",
+                F.lit(side).alias("side"),
+                (
+                    F.col("_it") + 1 - F.coalesce(F.col("_disc"), F.lit(0))
+                ).alias("rank"),
+            )
+        )
+
+    ranked = _side("s", "o", "tail").unionByName(_side("o", "s", "head"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+    ] + [
+        F.round(
+            F.avg(F.when(F.col("rank") <= k, 1.0).otherwise(0.0)), 6
+        ).alias(f"hits_{k}")
+        for k in ks
+    ]
+    return ranked.groupBy("rel", "side").agg(*aggs)
+
+
 def path_motifs(
     triples: DataFrame,
     subj_col: str = "subj_qid",

@@ -354,3 +354,59 @@ def test_transductive_split_contract(spark):
             assert s in f_tr_e and o in f_tr_e and r in f_tr_r
     assert {"train", "valid", "test"} >= set(got.values())
     assert len({sp for sp in got.values()}) >= 2
+
+
+def test_ranking_eval_popularity_vs_bruteforce(spark):
+    """Filtered MRR/Hits@k of the frequency baseline pinned against the
+    textbook |test| x |V| enumeration on a small KG."""
+    from bootleg_spark.operators.graph import ranking_eval_popularity
+
+    edges = [
+        ("A", "r1", "B"), ("A", "r1", "C"), ("B", "r1", "C"),
+        ("C", "r2", "A"), ("D", "r2", "A"), ("D", "r1", "A"),
+        ("E", "r2", "B"), ("A", "r2", "E"), ("B", "r2", "D"),
+    ]
+    kg = spark.createDataFrame(edges, "subj_qid string, rel string, obj_qid string")
+    test_triples = [("A", "r1", "C"), ("D", "r2", "A"), ("B", "r2", "D")]
+    splits = spark.createDataFrame(
+        [(s, r, o, "test" if (s, r, o) in test_triples else "train") for s, r, o in edges],
+        "subj_qid string, rel string, obj_qid string, split string",
+    )
+
+    pos = set(edges)
+    ents = sorted({x for s, _, o in edges for x in (s, o)})
+    freq = {e: sum(e in (s, o) for s, _, o in edges) for e in ents}
+    order = sorted(ents, key=lambda e: (-freq[e], e))  # best first
+
+    def brute_rank(anchor, rel, true, side):
+        # candidates better than `true`, skipping known positives
+        better = 0
+        for cand in order:
+            if cand == true:
+                break
+            known = (
+                (anchor, rel, cand) in pos if side == "tail" else (cand, rel, anchor) in pos
+            )
+            if not known:
+                better += 1
+        return better + 1
+
+    ranks = {}
+    for s, r, o in test_triples:
+        ranks.setdefault((r, "tail"), []).append(brute_rank(s, r, o, "tail"))
+        ranks.setdefault((r, "head"), []).append(brute_rank(o, r, s, "head"))
+    expect = {
+        k: (
+            len(v),
+            round(sum(1.0 / x for x in v) / len(v), 6),
+            round(sum(x <= 1 for x in v) / len(v), 6),
+            round(sum(x <= 3 for x in v) / len(v), 6),
+            round(sum(x <= 10 for x in v) / len(v), 6),
+        )
+        for k, v in ranks.items()
+    }
+    got = {
+        (r["rel"], r["side"]): (r["n_test"], r["mrr"], r["hits_1"], r["hits_3"], r["hits_10"])
+        for r in ranking_eval_popularity(kg, splits).collect()
+    }
+    assert got == expect
