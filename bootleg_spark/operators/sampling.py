@@ -171,3 +171,38 @@ def chunk_token_windows(
             " ", F.slice(F.col("_w"), (start + 1).cast("int"), (end - start).cast("int"))
         ).alias("chunk"),
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 101,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen uniformly
+    WITHOUT replacement and deterministically: keep the k smallest
+    md5 draws (consistent hash sampling — the draw is a pure function
+    of (seed, id), so the sample is stable across runs, engines, task
+    retries, and even across appends that don't touch the chosen ids;
+    rerunning with the same seed on a grown corpus keeps every
+    still-present previous pick whose draw remains in the top k).
+    Adds ``sample_rank`` (1-based within stratum, draw order,
+    id tiebreak). Contrast with :func:`mix_corpus`, which takes a
+    FRACTION per stratum — this takes an exact count, the shape eval
+    sets and human-audit batches need.
+
+    Scale shape: one hash projection + a rank-≤-k window. Catalyst's
+    WindowGroupLimit inserts a per-task partial top-k BEFORE the
+    stratum exchange (the TF-IDF/domain-cap pattern verified in
+    PLANS.md), so a 10^11-row stratum ships k rows per map task, never
+    a full sort."""
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(stratum_col).orderBy("_draw", id_col)
+    return (
+        df.withColumn("_draw", _uniform_draw(F.col(id_col), seed))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .drop("_draw")
+    )

@@ -174,3 +174,47 @@ def test_chunk_windows_cover_and_overlap(spark):
         for a, b in zip(chunks, chunks[1:]):
             assert b["tok_start"] - a["tok_start"] == stride
             assert a["tok_end"] > b["tok_start"]  # genuine overlap
+
+
+def test_sample_exact_k_deterministic_uniform(spark):
+    """Exact-k hash sampling: correct per-stratum counts, matches an
+    independent hashlib model, stable under reruns AND under appending
+    rows that don't displace the chosen draws."""
+    import hashlib
+
+    from bootleg_spark.operators.sampling import sample_exact_k
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in sample_exact_k(df, k=7, seed=101).collect()
+    }
+
+    def draw(i):
+        return int(hashlib.md5(f"101:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    expect = {}
+    for lang in ("en", "de"):
+        ids = sorted(
+            (i for i, l in rows if l == lang), key=lambda i: (draw(i), i)
+        )[:7]
+        for r, i in enumerate(ids, 1):
+            expect[(lang, i)] = r
+    assert got == expect
+    assert sorted(got) == sorted(expect)
+    # append rows with large doc_ids; previously chosen ids keep their
+    # membership unless a new draw lands inside the top k
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, "de") for i in range(5)], "doc_id long, lang string"
+    )
+    got2 = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in sample_exact_k(grown, k=7, seed=101).collect()
+    }
+    new_de = sorted(
+        (i for i, l in rows + [(1000 + j, "de") for j in range(5)] if l == "de"),
+        key=lambda i: (draw(i), i),
+    )[:7]
+    assert {i for (l, i) in got2 if l == "de"} == set(new_de)
+    assert {i for (l, i) in got2 if l == "en"} == {i for (l, i) in got if l == "en"}
