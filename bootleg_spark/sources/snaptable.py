@@ -773,6 +773,11 @@ def _cow_rewrite(
     spec + stream watermark. ``summary(n_matched)`` supplies the
     mode-specific manifest keys."""
     snap0, cand_paths = plan_files(table, prune=prune)
+    if _has_positional(snap0):
+        raise ValueError(
+            "pending positional delete files — their (file, row_pos) "
+            "coordinates would dangle after a rewrite; run apply_deletes first"
+        )
     if not cand_paths:
         return None
     from pyspark.sql import functions as F
@@ -919,21 +924,147 @@ def delete_rows_mor(
     )
 
 
+def delete_rows_positional(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    max_retries: int = 3,
+) -> dict | None:
+    """MERGE-ON-READ POSITIONAL delete (Iceberg v2 position delete
+    files): evaluate ``condition`` once against the current snapshot,
+    record the matching rows' (file_path, row_pos) coordinates in a
+    delete file, and commit — readers anti-join on the coordinates.
+    Complements :func:`delete_rows_mor`: equality deletes kill rows BY
+    VALUE (every current and physically-duplicated copy), positional
+    deletes kill exactly the row INSTANCES that matched at delete
+    time — the semantics row-level compliance workflows want when the
+    same value legitimately recurs (two crawls of one url), and what
+    engines emit from a join-based MERGE.
+
+    Contract: the coordinates are only valid against the data files
+    they name, so every file-REWRITING operation (CoW delete/update,
+    merge, compact) refuses while positional deletes are pending —
+    run :func:`apply_deletes` first (Iceberg's rewrite_data_files
+    forces the same maintenance ordering); :func:`zorder_table`
+    already reads post-filter and overwrites, materializing them away.
+    Scale: the predicate scan is one distributed pass (no collect of
+    data rows), the delete file is O(matches), commit is O(1) files.
+
+    Returns the committed snapshot (mode ``delete-pos``), or None when
+    nothing matches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap0 = load_snapshot(table)
+    paths = [os.path.join(table, f["path"]) for f in snap0["files"]]
+    if not paths:
+        return None
+    schema = StructType.fromJson(json.loads(snap0["schema_json"]))
+    scan = _with_row_provenance(spark.read.schema(schema).parquet(*paths))
+    if snap0.get("delete_files"):
+        # don't tombstone rows an earlier delete already killed
+        scan = _apply_mor_deletes(spark, table, scan, snap0)
+    matches = scan.where(F.expr(condition)).select(
+        F.col("_fp").alias("file_path"), F.col("_ri").alias("row_pos")
+    )
+    delete_entries = _write_data_files(matches, table)
+    delete_entries = [e for e in delete_entries if e["rows"] > 0]
+    if not delete_entries:
+        return None
+    for e in delete_entries:
+        e["positional"] = True
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        base = load_snapshot(table, base_version)
+        # concurrent appends only ADD files (coordinates stay valid);
+        # a rewrite of any scanned file invalidates them
+        if not (
+            {f["path"] for f in snap0["files"]}
+            <= {f["path"] for f in base["files"]}
+        ):
+            raise CommitConflict(
+                f"data files rewritten under positional delete on {table}; recompute"
+            )
+        version = base_version + 1
+        snap_out = {
+            "format_version": FORMAT_VERSION,
+            "version": version,
+            "parent": base_version,
+            "mode": "delete-pos",
+            "schema": base["schema"],
+            "schema_json": base["schema_json"],
+            **(
+                {"partition_spec": base["partition_spec"]}
+                if base.get("partition_spec")
+                else {}
+            ),
+            "files": base["files"],
+            "total_rows": base["total_rows"],  # base rows; live rows < this
+            "delete_files": base.get("delete_files", []) + delete_entries,
+        }
+        if base.get("stream_batch_id") is not None:
+            snap_out["stream_batch_id"] = base["stream_batch_id"]
+        if _try_publish(table, snap_out):
+            return snap_out
+    raise CommitConflict(
+        f"delete-pos lost the commit race {max_retries} times on {table}"
+    )
+
+
+def _has_positional(snap: dict) -> bool:
+    return any(e.get("positional") for e in snap.get("delete_files") or [])
+
+
+def _with_row_provenance(df: DataFrame) -> DataFrame:
+    """Attach (_fp, _ri) = (manifest-relative file path, row position)
+    from the parquet reader's ``_metadata`` struct — the provenance a
+    positional anti-join keys on. ``_metadata.file_path`` is a URI;
+    the manifest stores paths relative to the table root and every
+    data file lives under ``data/``, so the relative form is the
+    ``data/...`` suffix."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.regexp_extract(F.col("_metadata.file_path"), r"(data/.*)$", 1).alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+
+
 def _apply_mor_deletes(spark: SparkSession, table: str, df: DataFrame, snap: dict) -> DataFrame:
-    """Anti-join pending equality-delete files into a scan — the
-    merge-on-read read tax. Delete files are grouped by their equality
-    columns (one anti-join per distinct column set); key sets are
-    small by the mode's design, so Spark broadcasts them."""
+    """Anti-join pending delete files into a scan — the merge-on-read
+    read tax. Equality entries group by their column set (one
+    anti-join per distinct set, applied BY VALUE); positional entries
+    (Iceberg v2's other flavor) anti-join on (file, row position) and
+    require the caller to have attached provenance via
+    :func:`_with_row_provenance` first. Key sets are small by the
+    mode's design, so Spark broadcasts them."""
     from pyspark.sql import functions as F
 
     groups: dict[tuple, list[str]] = {}
+    pos_paths: list[str] = []
     for e in snap.get("delete_files") or []:
-        groups.setdefault(tuple(e["equality_cols"]), []).append(
-            os.path.join(table, e["path"])
-        )
+        if e.get("positional"):
+            pos_paths.append(os.path.join(table, e["path"]))
+        else:
+            groups.setdefault(tuple(e["equality_cols"]), []).append(
+                os.path.join(table, e["path"])
+            )
     for cols, paths in sorted(groups.items()):
         dels = spark.read.parquet(*paths).select(*cols).distinct()
         df = df.join(F.broadcast(dels), list(cols), "left_anti")
+    if pos_paths:
+        if "_fp" not in df.columns or "_ri" not in df.columns:
+            raise AssertionError(
+                "positional delete files pending but the scan carries no "
+                "row provenance — read through _with_row_provenance"
+            )
+        dels = (
+            spark.read.parquet(*pos_paths)
+            .select(F.col("file_path").alias("_fp"), F.col("row_pos").alias("_ri"))
+            .distinct()
+        )
+        df = df.join(F.broadcast(dels), ["_fp", "_ri"], "left_anti")
     return df
 
 
@@ -960,23 +1091,34 @@ def apply_deletes(
     # group): files whose surviving-row count (after the anti-joins)
     # differs from their manifest row count
     base = spark.read.schema(schema).parquet(*all_paths)
-    survived = (
-        base.select(*schema.fieldNames(), F.input_file_name().alias("_f"))
-    )
-    survived = _apply_mor_deletes(
-        spark, table, survived, snap0
-    ).groupBy("_f").agg(F.count(F.lit(1)).alias("n"))
-    counts = {r["_f"]: r["n"] for r in survived.collect()}
+    positional = _has_positional(snap0)
+    if positional:
+        survived = _with_row_provenance(base)
+        by_rel: dict[str, int] = {
+            r["_fp"]: r["n"]
+            for r in _apply_mor_deletes(spark, table, survived, snap0)
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        survived = (
+            base.select(*schema.fieldNames(), F.input_file_name().alias("_f"))
+        )
+        survived = _apply_mor_deletes(
+            spark, table, survived, snap0
+        ).groupBy("_f").agg(F.count(F.lit(1)).alias("n"))
+        counts = {r["_f"]: r["n"] for r in survived.collect()}
 
-    def _norm(p: str) -> str:
-        for pre in ("file://", "file:"):
-            if p.startswith(pre):
-                return p[len(pre):]
-        return p
+        def _norm(p: str) -> str:
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    return p[len(pre):]
+            return p
 
-    by_rel: dict[str, int] = {
-        os.path.relpath(_norm(f), table): n for f, n in counts.items()
-    }
+        by_rel = {
+            os.path.relpath(_norm(f), table): n for f, n in counts.items()
+        }
     touched_rel = {
         e["path"]
         for e in snap0["files"]
@@ -989,9 +1131,13 @@ def apply_deletes(
         groups.setdefault(key, []).append(os.path.join(table, rel))
     new_files: list[dict] = []
     for key, paths in sorted(groups.items()):
-        remaining = _apply_mor_deletes(
-            spark, table, spark.read.schema(schema).parquet(*paths), snap0
-        )
+        scan = spark.read.schema(schema).parquet(*paths)
+        if positional:
+            remaining = _apply_mor_deletes(
+                spark, table, _with_row_provenance(scan), snap0
+            ).drop("_fp", "_ri")
+        else:
+            remaining = _apply_mor_deletes(spark, table, scan, snap0)
         rewritten = _write_data_files(remaining, table)
         if key:
             for e in rewritten:
@@ -1120,7 +1266,12 @@ def read_table(
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*files)
     if snap.get("delete_files"):
-        df = _apply_mor_deletes(spark, table, df, snap)
+        if _has_positional(snap):
+            df = _apply_mor_deletes(
+                spark, table, _with_row_provenance(df), snap
+            ).drop("_fp", "_ri")
+        else:
+            df = _apply_mor_deletes(spark, table, df, snap)
     return df
 
 
@@ -1289,6 +1440,11 @@ def merge_rows(
             + ", ".join(f"{k}={dup[0][k]!r}" for k in key_cols)
         )
     snap0 = load_snapshot(table)
+    if _has_positional(snap0):
+        raise ValueError(
+            "pending positional delete files — their (file, row_pos) "
+            "coordinates would dangle after a rewrite; run apply_deletes first"
+        )
     schema = StructType.fromJson(json.loads(snap0["schema_json"]))
     _check_append_schema(snap0, source.schema)
     all_paths = [os.path.join(table, f["path"]) for f in snap0["files"]]
@@ -1410,6 +1566,11 @@ def compact(
     from pyspark.sql.types import StructType
 
     snap = load_snapshot(table)
+    if _has_positional(snap):
+        raise ValueError(
+            "pending positional delete files — their (file, row_pos) "
+            "coordinates would dangle after a rewrite; run apply_deletes first"
+        )
     schema = StructType.fromJson(_json.loads(snap["schema_json"]))
     groups: dict[tuple, list[dict]] = {}
     for f in snap["files"]:

@@ -1201,3 +1201,75 @@ def test_wap_stage_audit_publish_and_drop(spark, docs, tmp_path):
     assert st.list_staged(table) == []
     with pytest.raises(KeyError):
         st.publish_staged(table, "batch-good")  # publish is one-shot
+
+
+def test_positional_delete_instance_semantics(spark, docs, tmp_path):
+    """Iceberg v2 position deletes: kill the row INSTANCES that
+    matched at delete time — later appends of the same values stay
+    live (the semantic line vs equality deletes), old versions still
+    time-travel, apply_deletes materializes, rewrites refuse while
+    pending."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    st.write_table(docs.repartition(4), table)
+
+    s = st.delete_rows_positional(spark, table, "doc_id < 10")
+    assert s is not None and s["mode"] == "delete-pos"
+    assert all(e.get("positional") for e in s["delete_files"])
+    out = st.read_table(spark, table)
+    assert out.count() == 90 and out.where("doc_id < 10").count() == 0
+    assert st.read_table(spark, table, version=1).count() == 100
+
+    # appending the SAME values again: instances survive (equality
+    # deletes would kill them at read)
+    st.write_table(docs.where("doc_id < 3"), table, mode="append")
+    assert st.read_table(spark, table).where("doc_id < 3").count() == 3
+    assert st.read_table(spark, table).count() == 93
+
+    # no-match predicate: no-op, no snapshot
+    v_before = st.latest_version(table)
+    assert st.delete_rows_positional(spark, table, "doc_id = 100000") is None
+    assert st.latest_version(table) == v_before
+
+    # second positional delete stacks and only kills still-live rows
+    st.delete_rows_positional(spark, table, "doc_id >= 95")
+    assert st.read_table(spark, table).count() == 88
+
+    # file-rewriting ops refuse while positional deletes pend
+    with pytest.raises(ValueError, match="positional"):
+        st.delete_rows(spark, table, "doc_id = 50")
+    with pytest.raises(ValueError, match="positional"):
+        st.compact(spark, table, target_rows=1000)
+    with pytest.raises(ValueError, match="positional"):
+        st.merge_rows(
+            spark, table,
+            docs.where("doc_id = 50"), key_cols=["doc_id"],
+        )
+
+    applied = st.apply_deletes(spark, table)
+    assert applied is not None and "delete_files" not in applied
+    got = st.read_table(spark, table)
+    assert got.count() == 88
+    assert got.where("doc_id < 3").count() == 3  # the re-appended trio
+    assert got.where("(doc_id >= 3 AND doc_id < 10) OR doc_id >= 95").count() == 0
+    # after materialization, rewrites work again
+    assert st.compact(spark, table, target_rows=1000) is not None
+    assert st.read_table(spark, table).count() == 88
+
+
+def test_positional_and_equality_deletes_compose(spark, docs, tmp_path):
+    """Both MOR flavors pending at once: the read applies the equality
+    anti-join by value AND the positional anti-join by coordinate."""
+    table = str(tmp_path / "t")
+    st.write_table(docs.repartition(2), table)
+    st.delete_rows_mor(
+        spark, table, spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    )
+    st.delete_rows_positional(spark, table, "doc_id >= 90")
+    out = st.read_table(spark, table)
+    assert out.count() == 85
+    assert out.where("doc_id < 5 OR doc_id >= 90").count() == 0
+    # positional tombstones skipped rows already dead by equality
+    applied = st.apply_deletes(spark, table)
+    assert applied is not None and st.read_table(spark, table).count() == 85
