@@ -1817,6 +1817,29 @@ def files_table(spark: SparkSession, table: str, version: int | None = None) -> 
         rows, "path string, rows long, partition string, stats string"
     )
 
+def partitions_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg's ``tbl.partitions`` metadata table: one row per
+    partition VALUE — (partition JSON, n_files, n_rows) — aggregated
+    from the manifest alone, zero data files opened. The first screen
+    for partition skew (one day 100× the others → that day's scans and
+    rewrites are the stragglers) and small-file pressure per
+    partition (n_rows/n_files ≪ target → compact that partition).
+    Unpartitioned snapshots report one row with partition '{}'."""
+    snap = load_snapshot(table, version)
+    agg: dict[str, list[int]] = {}
+    for e in snap["files"]:
+        key = json.dumps(e.get("partition") or {}, sort_keys=True)
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += e["rows"]
+    rows = [(k, f, r) for k, (f, r) in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows, "partition string, n_files long, n_rows long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Named refs (tags / branches), rollback, and write-audit-publish.
 #

@@ -1273,3 +1273,31 @@ def test_positional_and_equality_deletes_compose(spark, docs, tmp_path):
     # positional tombstones skipped rows already dead by equality
     applied = st.apply_deletes(spark, table)
     assert applied is not None and st.read_table(spark, table).count() == 85
+
+
+def test_partitions_metadata_table(spark, docs, tmp_path):
+    """tbl.partitions aggregates the manifest per partition value:
+    row totals match the data, file counts match files_table, and an
+    unpartitioned table reports the single '{}' row."""
+    import json as _json
+
+    table = str(tmp_path / "t")
+    st.write_table(docs, table, partition_by=[("grp", "identity")])
+    pt = {
+        r["partition"]: (r["n_files"], r["n_rows"])
+        for r in st.partitions_table(spark, table).collect()
+    }
+    assert set(pt) == {_json.dumps({"grp": g}) for g in range(5)}
+    assert all(n_rows == 20 for _, n_rows in pt.values())
+    snap = st.load_snapshot(table)
+    by_part = {}
+    for e in snap["files"]:
+        k = _json.dumps(e["partition"], sort_keys=True)
+        by_part[k] = by_part.get(k, 0) + 1
+    assert {k: v[0] for k, v in pt.items()} == by_part
+
+    flat = str(tmp_path / "flat")
+    st.write_table(docs, flat)
+    rows = st.partitions_table(spark, flat).collect()
+    assert len(rows) == 1 and rows[0]["partition"] == "{}"
+    assert rows[0]["n_rows"] == 100
