@@ -93,6 +93,13 @@ KG_RELATIONS = (
     + "\n  )\n)"
 )
 
+REDIRECTS = """
+redirects AS (
+  SELECT qid AS src_qid, 'Q' || CAST(qnum - 1 AS BIGINT) AS dst_qid
+  FROM entities
+  WHERE alias_id % 3 = 0 AND variant > 0
+)"""
+
 # -- pipeline CTEs ------------------------------------------------------------
 
 MENTIONS = """

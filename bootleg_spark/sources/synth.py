@@ -169,6 +169,21 @@ def kg_relations(entities: DataFrame) -> DataFrame:
     return out.dropDuplicates(["subj_qid", "rel", "obj_qid"])
 
 
+def redirects_dim(entities: DataFrame) -> DataFrame:
+    """Deterministic redirect map (src_qid, dst_qid) standing in for a
+    Wikidata redirect dump: for every third alias (alias_id % 3 == 0)
+    the non-zero variants redirect one variant down — Q(3a+2) → Q(3a+1)
+    → Q(3a) — giving CHAINED redirects whose resolution
+    (operators.canonical.resolve_redirects) must follow two hops, not
+    one. Mirrored formula-for-formula in oracle.REDIRECTS."""
+    return entities.where(
+        (F.col("alias_id") % 3 == 0) & (F.col("variant") > 0)
+    ).select(
+        F.col("qid").alias("src_qid"),
+        F.concat(F.lit("Q"), (F.col("qnum") - 1).cast("string")).alias("dst_qid"),
+    )
+
+
 def synthetic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-shaped frame in the reference's raw-JSONL schema
     (entity_profile.py:158-169), derived deterministically from the
