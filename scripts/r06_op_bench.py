@@ -35,6 +35,26 @@ NAMES = [
     "kg_components",
     "quality_model",
     "lm_perplexity",
+    # late-round additions (temporal / graph-ML / table refs / patterns)
+    "events_asof",
+    "events_interval_join",
+    "events_rollup",
+    "kg_triangles",
+    "kg_path_motifs",
+    "kg_negatives",
+    "kg_rel_cardinality",
+    "kg_link_predict",
+    "entity_pmi",
+    "kg_split",
+    "kg_rank_eval",
+    "corpus_sample_k",
+    "table_delete_pos",
+    "table_rollback",
+    "table_refs",
+    "table_wap",
+    "kg_canonicalize",
+    "rel_pattern_mine",
+    "rel_pattern_apply",
 ]
 
 
