@@ -188,3 +188,55 @@ def resolve_functional(
     )
     rest = weighted.where(~F.col(pred_col).isin(functional_rels))
     return resolved.unionByName(rest)
+
+
+def source_trust(
+    claims: DataFrame,
+    iters: int = 3,
+    source_col: str = "source",
+    claim_cols: tuple[str, ...] = ("subj_qid", "rel", "obj_qid"),
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative source-reliability estimation over a claim bipartite
+    graph (the Sums/HITS instance of truth discovery; the per-source
+    prior Knowledge Vault feeds its fusion layer).
+
+    ``claims`` holds one row per (source, claim) attestation. Each
+    round: claim confidence = Σ trust of asserting sources, max-
+    normalized; source trust = Σ confidence of asserted claims, max-
+    normalized. Starts from uniform trust 1.0; fixed ``iters`` rounds
+    (fixed-iteration like :func:`~bootleg_spark.operators.graph.pagerank`
+    so the oracle can unroll the same chain).
+
+    Returns (trust, conf): (source, trust) and (*claim_cols, conf),
+    both from the final round, unrounded.
+
+    Scale shape: per round two keyed aggregations (claim grain, source
+    grain) and two broadcast joins against single-row max frames — no
+    window over all rows, no collect. The trust frame (|sources| rows —
+    registered domains at web scale, ≪ claims) is lazily
+    localCheckpoint-ed per round so the logical plan stays O(1) per
+    iteration (the round-2 lineage lesson)."""
+    keys = list(claim_cols)
+    c = claims.select(source_col, *keys).distinct()
+    trust = c.select(source_col).distinct().withColumn("trust", F.lit(1.0))
+    conf = None
+    for _ in range(iters):
+        raw_conf = (
+            c.join(trust, source_col)
+            .groupBy(*keys)
+            .agg(F.sum("trust").alias("rc"))
+        )
+        mc = raw_conf.agg(F.max("rc").alias("m"))
+        conf = raw_conf.crossJoin(F.broadcast(mc)).select(
+            *keys, (F.col("rc") / F.col("m")).alias("conf")
+        )
+        raw_trust = (
+            c.join(conf, keys).groupBy(source_col).agg(F.sum("conf").alias("rt"))
+        )
+        mt = raw_trust.agg(F.max("rt").alias("m"))
+        trust = (
+            raw_trust.crossJoin(F.broadcast(mt))
+            .select(source_col, (F.col("rt") / F.col("m")).alias("trust"))
+            .localCheckpoint(eager=False)
+        )
+    return trust, conf

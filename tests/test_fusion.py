@@ -92,3 +92,55 @@ def test_resolve_functional_tie_breaks_to_smallest_obj(kg, spark):
            for r in resolve_functional(kg, ev, ["born_in"]).collect()
            if r.rel == "born_in"}
     assert out["Q1"] == "Q10"  # 'Q10' < 'Q2' lexicographically
+
+
+def test_source_trust_hand_computed(spark):
+    from bootleg_spark.operators.fusion import source_trust
+
+    # s1 asserts {A, B}; s2 asserts {A}; one iteration by hand:
+    #   raw conf: A=2, B=1 -> max 2 -> conf A=1.0, B=0.5
+    #   raw trust: s1=1.5, s2=1.0 -> max 1.5 -> s1=1.0, s2=2/3
+    claims = spark.createDataFrame(
+        [("s1", "Q1", "r", "Q2"), ("s1", "Q3", "r", "Q4"), ("s2", "Q1", "r", "Q2")],
+        "source string, subj_qid string, rel string, obj_qid string",
+    )
+    trust, conf = source_trust(claims, iters=1)
+    t = {r.source: r.trust for r in trust.collect()}
+    assert t["s1"] == pytest.approx(1.0)
+    assert t["s2"] == pytest.approx(2 / 3)
+    c = {(r.subj_qid, r.obj_qid): r.conf for r in conf.collect()}
+    assert c[("Q1", "Q2")] == pytest.approx(1.0)
+    assert c[("Q3", "Q4")] == pytest.approx(0.5)
+
+
+def test_source_trust_matches_numpy_iteration(spark):
+    import numpy as np
+
+    from bootleg_spark.operators.fusion import source_trust
+
+    sources = [f"s{i}" for i in range(5)]
+    claim_ids = [(f"Q{j}", "r", f"Q{j+100}") for j in range(8)]
+    rows = [
+        (s, *claim_ids[j])
+        for i, s in enumerate(sources)
+        for j in range(8)
+        if (i * 3 + j) % 4 != 0  # deterministic sparse bipartite graph
+    ]
+    claims = spark.createDataFrame(
+        rows, "source string, subj_qid string, rel string, obj_qid string"
+    )
+    # dense reference
+    A = np.zeros((5, 8))
+    for i in range(5):
+        for j in range(8):
+            if (i * 3 + j) % 4 != 0:
+                A[i, j] = 1.0
+    t = np.ones(5)
+    for _ in range(3):
+        c = A.T @ t
+        c = c / c.max()
+        t = A @ c
+        t = t / t.max()
+    got = {r.source: r.trust for r in source_trust(claims, iters=3)[0].collect()}
+    for i, s in enumerate(sources):
+        assert got[s] == pytest.approx(t[i], abs=1e-9)
