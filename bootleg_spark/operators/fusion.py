@@ -190,6 +190,36 @@ def resolve_functional(
     return resolved.unionByName(rest)
 
 
+def observation_spans(
+    attestations: DataFrame,
+    pages: DataFrame,
+    doc_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+    claim_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """(*claim_cols, first_seen, last_seen, n_pages): temporal scoping
+    of extracted facts — when the crawl first and last observed each
+    triple, and on how many distinct pages. ``attestations`` is
+    page-grain (doc_id, triple); ``pages`` carries the crawl timestamp.
+    One equi-join on the page key + one triple-grain aggregation
+    (min/max/count are map-side combinable); at 10^12 pages the join is
+    a straight co-partitionable equi-join on the page id, and the
+    output is |distinct triples| rows."""
+    keys = list(claim_cols)
+    ts = pages.select(F.col(doc_col), F.col(ts_col))
+    return (
+        attestations.select(doc_col, *keys)
+        .distinct()
+        .join(ts, doc_col)
+        .groupBy(*keys)
+        .agg(
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+            F.countDistinct(doc_col).cast("long").alias("n_pages"),
+        )
+    )
+
+
 def source_trust(
     claims: DataFrame,
     iters: int = 3,

@@ -144,3 +144,22 @@ def test_source_trust_matches_numpy_iteration(spark):
     got = {r.source: r.trust for r in source_trust(claims, iters=3)[0].collect()}
     for i, s in enumerate(sources):
         assert got[s] == pytest.approx(t[i], abs=1e-9)
+
+
+def test_observation_spans(spark):
+    from bootleg_spark.operators.fusion import observation_spans
+
+    att = spark.createDataFrame(
+        [(1, "Q1", "r", "Q2"), (3, "Q1", "r", "Q2"), (2, "Q3", "r", "Q4"),
+         (1, "Q1", "r", "Q2")],  # duplicate page attestation collapses
+        "doc_id long, subj string, pred string, obj string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:01"), (2, "2020-01-01 00:00:02"),
+         (3, "2020-01-01 00:00:03")],
+        "doc_id long, warc_ts string",
+    ).selectExpr("doc_id", "CAST(warc_ts AS TIMESTAMP) AS warc_ts")
+    out = {(r.subj, r.obj): (str(r.first_seen), str(r.last_seen), r.n_pages)
+           for r in observation_spans(att, pages).collect()}
+    assert out[("Q1", "Q2")] == ("2020-01-01 00:00:01", "2020-01-01 00:00:03", 2)
+    assert out[("Q3", "Q4")] == ("2020-01-01 00:00:02", "2020-01-01 00:00:02", 1)
