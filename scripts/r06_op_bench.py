@@ -55,6 +55,16 @@ NAMES = [
     "kg_canonicalize",
     "rel_pattern_mine",
     "rel_pattern_apply",
+    # fusion / ER suite
+    "kg_rel_signatures",
+    "kg_type_violations",
+    "kg_func_conflicts",
+    "kg_fuse_functional",
+    "kg_source_trust",
+    "kg_claim_conf",
+    "kg_fact_spans",
+    "entity_resolve",
+    "kg_fused",
 ]
 
 
