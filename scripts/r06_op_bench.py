@@ -65,6 +65,8 @@ NAMES = [
     "kg_fact_spans",
     "entity_resolve",
     "kg_fused",
+    "kg_rule_mine",
+    "kg_rule_apply",
 ]
 
 
