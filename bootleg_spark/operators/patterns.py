@@ -122,6 +122,58 @@ def mine_patterns(
     )
 
 
+def bootstrap_patterns(
+    pairs: DataFrame,
+    kg: DataFrame,
+    rounds: int = 2,
+    min_support: int = 2,
+    min_precision: float = 0.1,
+    subj_col: str = "subj_qid",
+    pred_col: str = "rel",
+    obj_col: str = "obj_qid",
+) -> DataFrame:
+    """(subj_qid, rel, obj_qid, accepted_round, n_evidence, confidence):
+    the full DIPRE/Snowball bootstrap — each round re-mines patterns
+    against the KG GROWN by the previous round's accepted proposals,
+    so newly accepted facts recruit new patterns which recruit new
+    facts. Fixed ``rounds`` (convergence shows up as an empty later
+    round, which the oracle checks too); each accepted triple is
+    stamped with the round that first proposed it (rounds are disjoint
+    by construction — the apply anti-join removes everything already
+    known, including earlier acceptances).
+
+    Scale shape per round: one mine (two aggs + edge equi-join, the
+    pattern-grain dictionary) + one apply (broadcast dictionary +
+    triple-key anti-join); the known set grows by the acceptance
+    stream and is lazily localCheckpoint-ed so the plan stays O(1) per
+    round. ``pairs`` is re-joined every round — materialize it once
+    upstream (same rule as the truth-discovery claims frame)."""
+    pairs = pairs.localCheckpoint(eager=False)
+    known = kg.select(
+        F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    ).distinct()
+    out = None
+    for i in range(1, rounds + 1):
+        mined = mine_patterns(pairs, known, subj_col, pred_col, obj_col)
+        props = apply_patterns(
+            pairs, mined, known, min_support, min_precision,
+            subj_col, pred_col, obj_col,
+        ).select(
+            subj_col,
+            pred_col,
+            obj_col,
+            F.lit(i).cast("int").alias("accepted_round"),
+            "n_evidence",
+            "confidence",
+        ).localCheckpoint(eager=False)  # feeds both the output and the grown KG
+        out = props if out is None else out.unionByName(props)
+        known = (
+            known.unionByName(props.select(subj_col, pred_col, obj_col))
+            .localCheckpoint(eager=False)
+        )
+    return out
+
+
 def apply_patterns(
     pairs: DataFrame,
     mined: DataFrame,

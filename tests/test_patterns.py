@@ -126,3 +126,32 @@ def test_multi_relation_pair_credits_each_relation(spark):
         ("works at", "employer"): (2, 2),
         ("works at", "member_of"): (2, 2),
     }
+
+
+def test_bootstrap_cascades_across_rounds(spark):
+    from bootleg_spark.operators.patterns import (
+        adjacent_linked_pairs,
+        bootstrap_patterns,
+    )
+
+    # round 1: "x x" is credited by the seed edge (A,r,B) and proposes
+    # (C,r,D); round 2: "y y" becomes minable only once (C,r,D) is
+    # accepted, and then proposes (E,r,F) — a genuine cascade.
+    docs = spark.createDataFrame(
+        [(1, "A x x B"), (2, "C x x D"), (3, "C y y D"), (4, "E y y F")],
+        "doc_id long, text string",
+    )
+    linked = spark.createDataFrame(
+        [(1, 0, "QA"), (1, 3, "QB"), (2, 0, "QC"), (2, 3, "QD"),
+         (3, 0, "QC"), (3, 3, "QD"), (4, 0, "QE"), (4, 3, "QF")],
+        "doc_id long, mention_pos long, qid string",
+    )
+    kg = spark.createDataFrame(
+        [("QA", "r", "QB")], "subj_qid string, rel string, obj_qid string"
+    )
+    pairs = adjacent_linked_pairs(linked, docs)
+    out = {(r.subj_qid, r.obj_qid): r.accepted_round
+           for r in bootstrap_patterns(
+               pairs, kg, rounds=2, min_support=1, min_precision=0.1
+           ).collect()}
+    assert out == {("QC", "QD"): 1, ("QE", "QF"): 2}
