@@ -67,6 +67,7 @@ NAMES = [
     "kg_fused",
     "kg_rule_mine",
     "kg_rule_apply",
+    "rel_pattern_bootstrap",
 ]
 
 
