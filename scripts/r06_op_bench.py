@@ -68,6 +68,7 @@ NAMES = [
     "kg_rule_mine",
     "kg_rule_apply",
     "rel_pattern_bootstrap",
+    "kg_proposals",
 ]
 
 
