@@ -97,6 +97,75 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def doc_shingle_arrays(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dsh): each doc's DISTINCT word-n-gram shingles as an in-row
+    array — the zero-shuffle form of :func:`word_shingles` (guide §2.4:
+    remove shuffles outright). Shingling, the empty-shingle filter and
+    the per-doc distinct are strictly per-document, so they compute
+    inside the row: ``word_shingles``'s global ``.distinct()`` exchange
+    of every (id, shingle) row (2.6 M rows at sf1.0) becomes
+    ``array_distinct`` in the scan projection, and every downstream
+    per-doc reduction (band minima, set sizes) follows in-row too.
+
+    Row-for-row: ``explode(dsh)`` ≡ ``word_shingles(docs, n)``. The
+    filter runs BEFORE the projection on the cheap equivalent predicate
+    ``size(split(text)) >= n`` (for n ≥ 2 every shingle contains a
+    separator so the length>0 filter is vacuous; the n == 1 branch
+    keeps it) — filtering on a derived array column AFTER projecting it
+    lets predicate pushdown substitute the whole expression into the
+    filter and every row pays it twice (see doc_fingerprints)."""
+    w = F.split(F.col(text_col), " ")
+    d0 = docs.where(F.size(w) >= n).select(F.col(id_col).alias("id"), w.alias("w"))
+    arr = shingle_array_expr(F.col("w"), n)
+    if n == 1:
+        arr = F.filter(arr, lambda s: F.length(s) > 0)
+    out = d0.select("id", F.array_distinct(arr).alias("dsh"))
+    if n == 1:
+        out = out.where(F.size("dsh") >= 1)
+    return out
+
+
+def shingle_array_expr(wc, n: int):
+    """In-row word-n-gram array over a words-array column, as a chain of
+    n−1 ``zip_with`` concats over shifted slices. Equivalent to
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(w, i+1, n)))``
+    but 2.6× faster measured at sf1.0 (1.54 s → 0.58 s for the distinct
+    shingle projection): the per-element lambda allocates no slice array
+    and runs one binary concat per step instead of index arithmetic +
+    O(n) slice + concat_ws."""
+    m = F.size(wc) - (n - 1)
+    arr = F.slice(wc, 1, m)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr, F.slice(wc, j + 1, m), lambda acc, x: F.concat(acc, F.lit(" "), x)
+        )
+    return arr
+
+
+def _band_minima_arrays(dshf: DataFrame, n_bands: int) -> DataFrame:
+    """(id, band, min_hash) from a (id, dsh) shingle-array frame.
+
+    Same md5-hex order statistic as :func:`_band_minima`, but each
+    band's minimum is an ``array_min(transform(...))`` computed inside
+    the row: the r06 form still paid one groupBy(id) exchange over
+    every (id, shingle) row; this pays none — the scan projection emits
+    the finished n_bands-wide row per doc, and only the n_bands-row
+    unpivot leaves the row."""
+    aggs = [
+        F.array_min(
+            F.transform(F.col("dsh"), lambda s: F.md5(F.concat(F.lit(f"{b}:"), s)))
+        ).alias(f"_h{b}")
+        for b in range(n_bands)
+    ]
+    per_doc = dshf.select("id", *aggs)
+    stack_args = ", ".join(f"{b}, _h{b}" for b in range(n_bands))
+    return per_doc.select(
+        "id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, min_hash)")
+    ).select("id", F.col("band").cast("int").alias("band"), "min_hash")
+
+
 def minhash_band_buckets(
     docs: DataFrame,
     n_bands: int = 8,
@@ -111,9 +180,15 @@ def minhash_band_buckets(
     (band, min_hash) bucket are near-dup candidates with probability
     rising in their Jaccard similarity (standard LSH banding). md5-hex
     min is an order statistic on strings → identical in any engine.
+
+    r07: computed fully in-row (:func:`doc_shingle_arrays` +
+    :func:`_band_minima_arrays`) — zero exchanges before the bucket
+    rows exist, where the r06 plan paid the shingle ``distinct`` and
+    the groupBy(id) shuffles first.
     """
-    sh = word_shingles(docs, shingle_n, text_col, id_col)
-    return _band_minima(sh, n_bands)
+    return _band_minima_arrays(
+        doc_shingle_arrays(docs, shingle_n, text_col, id_col), n_bands
+    )
 
 
 def _band_minima(sh: DataFrame, n_bands: int) -> DataFrame:
@@ -139,6 +214,46 @@ def _band_minima(sh: DataFrame, n_bands: int) -> DataFrame:
     ).select("id", F.col("band").cast("int").alias("band"), "min_hash")
 
 
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) doc pairs sharing a (band, min_hash) bucket.
+
+    r06 formed these with a bucket self-join, which (a) executed the
+    whole band-minima subplan TWICE — one evaluation per join side, the
+    dominant cost of the candidate stage once the minima were in-row —
+    and (b) materialized every n² ordered bucket combination before the
+    ``id_a < id_b`` filter. One groupBy instead: collect each bucket's
+    (distinct — one row per (id, band)) ids, sort in-row, and emit only
+    the i < j combinations. The subplan runs once, the shuffle carries
+    one row per bucket member (same bytes as ONE side of the old join),
+    and nothing bigger than the final pair set is ever produced.
+
+    Skew note: a pathological bucket (n docs sharing a band minimum)
+    emits its n·(n-1)/2 pairs from one row, where the join form spread
+    them across the build side's AQE splits; bucket width is the LSH
+    design parameter (more bands / wider band hashes), not something to
+    salt after the fact — the r06 join form had the same n² output."""
+    grouped = (
+        buckets.groupBy("band", "min_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_bands: int = 8,
@@ -148,14 +263,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket."""
     buckets = minhash_band_buckets(docs, n_bands, shingle_n, text_col, id_col)
-    a = buckets.select(F.col("id").alias("id_a"), "band", "min_hash")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "min_hash")
-    return (
-        a.join(b, ["band", "min_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _bucket_pairs(buckets)
 
 
 def minhash_verified_pairs(
@@ -172,43 +280,49 @@ def minhash_verified_pairs(
     them. At corpus scale the verify join touches only candidate pairs,
     never all O(N²).
 
-    ``reuse_shingles`` persists the shingle frame, which the plan scans
-    three times (band hashing, sizes, verify join) — measured 1.7×
-    end-to-end; MEMORY_AND_DISK spills if the shingle set outgrows
-    executor memory. Pass False to recompute instead of store.
+    r07 verify plan (guide §8: decide with small rows, attach payloads
+    once): the r06 form verified by re-exploding both docs of every
+    candidate pair to shingle grain — cand ⋈ shingles(id_a) ⋈
+    shingles(id_b) — which materialized 490 M rows for 8.1 M candidate
+    pairs at sf1.0 and then paid a pair-grain groupBy over them (34-47 s,
+    the most expensive query in the bench). Each doc's distinct shingle
+    set is small (~52 at sf1.0; bounded by doc length), so the set
+    travels as ONE in-row array of xxhash64 longs: two equi-joins attach
+    the packed arrays to the pair rows (the optimizer broadcasts the
+    doc-set dim when its estimate allows — at corpus scale the same
+    plan degrades gracefully to a shuffle join on id), and
+    ``size(array_intersect(...))`` computes n_inter inside the row.
+    Shuffled rows: the candidate distinct only. Same output: n_inter
+    counts distinct shared shingles exactly as the oracle's join-count
+    over distinct (id, shingle) rows, still modulo the documented
+    ~2⁻⁶⁴ xxhash64 collision tolerance the r06 verify join had.
 
-    The band-min step stays on md5-hex strings (bit-identical in the
-    DuckDB oracle, so the CANDIDATE set is oracle-pinned); the verify
-    join, whose exchange dominates shuffle bytes, runs on xxhash64
-    longs — 8 bytes per shingle key instead of the full shingle string,
-    identical output absent 64-bit collisions (a collision would merge
-    two shingles of one doc; pair-level jaccard perturbation at
-    ~2⁻⁶⁴ per shingle pair)."""
-    sh = word_shingles(docs, shingle_n, text_col, id_col)
-    if reuse_shingles:
-        sh = sh.persist()
-    buckets = _band_minima(sh, n_bands)
-    ca = buckets.select(F.col("id").alias("id_a"), "band", "min_hash")
-    cb = buckets.select(F.col("id").alias("id_b"), "band", "min_hash")
-    cand = (
-        ca.join(cb, ["band", "min_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sizes = _doc_sizes(sh)
-    shh = sh.select("id", F.xxhash64("shingle").alias("sh64"))
-    a = shh.select(F.col("id").alias("id_a"), "sh64")
-    b = shh.select(F.col("id").alias("id_b"), "sh64")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "sh64"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+    ``reuse_shingles`` is retained for API compatibility; the packed
+    plan derives bands, sizes and sets in one in-row projection chain,
+    so there is no shingle frame left to persist."""
+    del reuse_shingles  # no multi-scan shingle frame left to reuse
+    dshf = doc_shingle_arrays(docs, shingle_n, text_col, id_col)
+    buckets = _band_minima_arrays(dshf, n_bands)
+    cand = _bucket_pairs(buckets)
+    sets = dshf.select(
+        "id",
+        F.transform(F.col("dsh"), lambda s: F.xxhash64(s)).alias("sh64s"),
+        F.size("dsh").cast("long").alias("n"),
     )
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("sh64s").alias("_sa"), F.col("n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("sh64s").alias("_sb"), F.col("n").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),

@@ -140,14 +140,25 @@ def doc_fingerprints(
 
     Per-document extrema need no explode/groupBy shuffle: the hash
     array's min/max compute inside the row — scan → project, zero
-    exchanges."""
-    w = docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w"))
-    hs = F.expr(
-        f"CASE WHEN size(w) >= {shingle_n} THEN transform(sequence(0, size(w) - {shingle_n}),"
-        f" i -> md5(concat_ws(' ', slice(w, i + 1, {shingle_n})))) ELSE array() END"
+    exchanges.
+
+    The filter runs FIRST on the cheap equivalent predicate
+    ``size(split(text)) >= shingle_n`` (``split`` always returns ≥1
+    element, so for every shingle_n ≥ 1 this is exactly "the shingle
+    array is non-empty"). The round-6 form filtered on ``size(hs) >= 1``
+    AFTER deriving ``hs``: predicate pushdown substituted the whole md5
+    transform into the filter condition below the projection, so every
+    row paid the full shingle hashing twice (guide §4.4's duplication,
+    minus the UDF) — half of an 18 s single-core stage at sf1.0."""
+    from bootleg_spark.operators.dedup import shingle_array_expr
+
+    w = F.split(F.col(text_col), " ")
+    d0 = docs.where(F.size(w) >= shingle_n).select(
+        F.col(id_col).alias("id"), w.alias("w")
     )
-    d = w.select("id", hs.alias("hs"))
-    return d.where(F.size("hs") >= 1).select(
+    hs = F.transform(shingle_array_expr(F.col("w"), shingle_n), lambda s: F.md5(s))
+    d = d0.select("id", hs.alias("hs"))
+    return d.select(
         "id", F.array_min("hs").alias("fp_min"), F.array_max("hs").alias("fp_max")
     )
 

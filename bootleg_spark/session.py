@@ -68,6 +68,30 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def fan_scan(df, min_parallelism: int | None = None):
+    """Scale-adaptive scan fan-out (optimization guide §2.5/§6.1).
+
+    Parquet split planning is row-group-bound: a small input that is one
+    file with one row group yields ONE scan partition no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say, so every pre-exchange
+    operator (per-row md5/regex work, Arrow UDF workers, mapInPandas)
+    runs on 1-2 of the session's cores. Measured at sf1.0: the
+    zero-exchange ``doc_fingerprints`` plan spent 18 s on one core.
+
+    Round-robin repartition to the session's default parallelism ONLY
+    when the scan has fewer partitions than that; at production scale
+    (thousands of files / row groups) the guard makes this a no-op, so
+    nothing here is tuned to the local core count. The exchange this
+    adds moves only the small input once (15 MB at sf1.0) and buys every
+    downstream row operation full parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(min_parallelism or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stop_spark() -> None:
     """Stop the active session if any (used by the scaling bench)."""
     active = SparkSession.getActiveSession()

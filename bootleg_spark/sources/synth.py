@@ -24,8 +24,20 @@ from bootleg_spark import synthspec as S
 from bootleg_spark.functions.textproc import STOP_WORDS
 
 
+# DataFrame cache keyed like _PIPE_CACHE: fan_scan's partition probe
+# plans the scan once per (session, dir) instead of on every query build
+_DOCS_CACHE: dict = {}
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from bootleg_spark.session import fan_scan
+
+    key = (id(spark), sf_dir)
+    df = _DOCS_CACHE.get(key)
+    if df is None:
+        df = fan_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        _DOCS_CACHE[key] = df
+    return df
 
 
 def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
