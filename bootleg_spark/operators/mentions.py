@@ -329,9 +329,18 @@ def extract_mentions_word(
     j1 = words.join(
         F.broadcast(fast_dim), F.lower(F.col("_word")) == F.col("_fast_alias"), "left"
     )
+    # lnrm fast-skip (r07): a word already matching ^[a-z0-9]*$ is an
+    # lnrm fixed point with lower(w) == w, so its slow key equals the
+    # fast key that just MISSED — the slow join can only miss too.
+    # Null the key instead of computing it: one anchored char-class
+    # probe replaces lower + two substituting regexes + trim on the
+    # clean-word majority of the corpus (guide §1.2 "per-task work").
     j2 = j1.withColumn(
         "_lnrm",
-        F.when(F.col("_fast_alias").isNull(), lnrm_ascii_col(F.col("_word"))),
+        F.when(
+            F.col("_fast_alias").isNull() & ~F.col("_word").rlike("^[a-z0-9]*$"),
+            lnrm_ascii_col(F.col("_word")),
+        ),
     ).join(F.broadcast(slow_dim), F.col("_lnrm") == F.col("_slow_alias"), "left")
     return (
         j2.withColumn("alias", F.coalesce("_fast_alias", "_slow_alias"))

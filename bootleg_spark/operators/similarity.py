@@ -48,16 +48,27 @@ def cosine_topk_bruteforce(
     to 6 dp (stable across engines); rank windows order by the rounded
     score then neighbor id for deterministic ties.
     """
+    # norms precomputed once per row on each side BEFORE the fan-out
+    # join (guide §1.2 per-task work): computed inside the pair
+    # projection they re-ran per (query, candidate) row — |Q|× per
+    # candidate and |N|× per query. Same expression, same float ops,
+    # identical rounded values.
     q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -85,8 +96,13 @@ def _assign_to_centroids(
     the assignment and probe tie rules can never diverge (ivf_topk's
     full-probe ≡ brute-force claim depends on that). One scan of the
     big side, per-id window."""
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6)
+    cents_n = cents.select("cell", "cv", _norm(F.col("cv")).alias("_cn"))
+    scored = (
+        emb.withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "sim", F.round(_dot(F.col(vec_col), F.col("cv")) / (F.col("_vn") * F.col("_cn")), 6)
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return (
@@ -173,9 +189,15 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     probes = _assign_to_centroids(qv, cents, "query_id", "qv", top_n=n_probe)
-    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cell",
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    probes_n = probes.withColumn("qn", _norm(F.col("qv")))
     scored = (
-        F.broadcast(probes)
+        F.broadcast(probes_n)
         .join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         # no dedup needed: every vector lives in exactly one cell and a
@@ -183,7 +205,7 @@ def ivf_topk(
         # are unique by construction
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -206,10 +228,16 @@ def signbit_lsh_topk(
     bucket (equi-join on bucket instead of a broadcast fan-out)."""
     with_bucket = emb.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
     q = with_bucket.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -217,7 +245,7 @@ def signbit_lsh_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -241,14 +269,20 @@ def embedding_near_pairs(
     proposes, exact cosine verifies; never all-pairs). Output feeds
     dedup.dup_clusters for keep-one-per-cluster semantics."""
     with_bucket = emb.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
-    a = with_bucket.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = with_bucket.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    a = with_bucket.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket",
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket",
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     scored = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -311,60 +345,70 @@ def ivf_table_topk(
     (same rounding and tie rules — pytest + the shared driver oracle
     pin it); smaller ``n_probe`` trades recall for opening
     ~``n_probe/n_cells`` of the files."""
-    import numpy as np
-
     from bootleg_spark.sources import snaptable as st
 
     snap = st.load_snapshot(table)
     meta = snap["ivf"]
-    cells = [c for c, _ in meta["centroids"]]
-    C = np.array([v for _, v in meta["centroids"]], dtype=float)
-    cn = np.linalg.norm(C, axis=1)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
 
-    qrows = (
+    # probe selection runs EXECUTOR-side (r07 / VERDICT r06 #7): the
+    # query vectors are scored against the (broadcast-small) centroid
+    # list inside a mapInPandas pass instead of a driver loop over
+    # collect()ed rows — at production query volumes the driver never
+    # touches a vector. Only the probed CELL IDS come back to the
+    # driver (bounded by n_cells), because file pruning is inherently a
+    # driver decision. Same numerics and tie rule as before (numpy
+    # round, cosine desc, cell asc).
+    def _score_probes(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells = [c for c, _ in centroids]
+        C = np.array([v for _, v in centroids], dtype=float)
+        cn = np.linalg.norm(C, axis=1)
+        for pdf in batches:
+            q_o, v_o, c_o = [], [], []
+            for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                qv = np.asarray(list(vec), dtype=float)
+                # same formula + tie rule as _assign_to_centroids:
+                # rounded-6 cosine desc, cell asc
+                sims = np.round(C @ qv / (cn * np.linalg.norm(qv)), 6)
+                order = sorted(range(len(cells)), key=lambda i: (-sims[i], cells[i]))
+                for c in (int(cells[i]) for i in order[:n_probe]):
+                    q_o.append(int(qid))
+                    v_o.append([float(x) for x in qv])
+                    c_o.append(c)
+            yield pd.DataFrame({"query_id": q_o, "qv": v_o, "cell": c_o})
+
+    probes = (
         st.read_table(spark, table)
         .where(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
-        .collect()
+        .mapInPandas(_score_probes, "query_id long, qv array<double>, cell long")
     )
-    probe_rows = []
-    probe_cells: set[int] = set()
-    for r in qrows:
-        qv = np.asarray(list(r[vec_col]), dtype=float)
-        # same formula + tie rule as _assign_to_centroids: rounded-6
-        # cosine desc, cell asc
-        sims = np.round(C @ qv / (cn * np.linalg.norm(qv)), 6)
-        order = sorted(range(len(cells)), key=lambda i: (-sims[i], cells[i]))
-        pcs = [int(cells[i]) for i in order[:n_probe]]
-        probe_cells.update(pcs)
-        for c in pcs:
-            probe_rows.append((int(r[id_col]), [float(x) for x in r[vec_col]], c))
+    probe_cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
 
-    if not probe_rows:
+    if not probe_cells:
         # no query vectors (no id < n_queries) → every file would be
         # pruned and spark.read.parquet(*[]) errors; the correct result
         # is simply empty (ADVICE r05)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos_sim double"
         )
-    _, files = st.plan_files(table, prune=("cell", "in", sorted(probe_cells)))
+    _, files = st.plan_files(table, prune=("cell", "in", probe_cells))
     cand = spark.read.parquet(*files).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
-    )
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cell long"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cell",
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
-        F.broadcast(probes)
+        F.broadcast(probes.withColumn("qn", _norm(F.col("qv"))))
         .join(cand, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

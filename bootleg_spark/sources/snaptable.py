@@ -828,6 +828,7 @@ def _cow_rewrite(
         base_paths = {f["path"] for f in base["files"]}
         if not touched_rel <= base_paths:
             return None  # concurrent writer dropped a touched file
+        _check_rewrite_base(table, snap0, base)
         files = [f for f in base["files"] if f["path"] not in touched_rel] + new_files
         version = base_version + 1
         snap_out = {
@@ -895,7 +896,11 @@ def delete_rows_mor(
         if base_version is None:
             raise FileNotFoundError(f"no snapshots in {table}")
         base = load_snapshot(table, base_version)
-        missing = [c for c in eq_cols if c not in base["schema"]]
+        # exact field names from schema_json, not a substring probe of
+        # the simpleString (ADVICE r06: 'id' would false-match 'doc_id'
+        # and commit a delete file that breaks every subsequent read)
+        field_names = {f["name"] for f in json.loads(base["schema_json"])["fields"]}
+        missing = [c for c in eq_cols if c not in field_names]
         if missing:
             raise ValueError(f"equality columns {missing} not in table schema")
         version = base_version + 1
@@ -1013,6 +1018,24 @@ def delete_rows_positional(
 
 def _has_positional(snap: dict) -> bool:
     return any(e.get("positional") for e in snap.get("delete_files") or [])
+
+
+def _check_rewrite_base(table: str, snap0: dict, base: dict) -> None:
+    """Guard a rewrite commit (CoW delete/update, merge, compact)
+    against delete files that landed BETWEEN planning on ``snap0`` and
+    publishing on ``base`` (ADVICE r06 medium, TOCTOU): a positional
+    delete committed mid-flight carries (file, row_pos) coordinates
+    naming files this commit is about to drop — carrying it forward
+    silently resurrects the deleted rows (the read-time anti-join
+    would match nothing). Mirror the entry-time refusal: abort the
+    commit instead of publishing."""
+    plan_dels = {e.get("path") for e in snap0.get("delete_files") or []}
+    base_dels = {e.get("path") for e in base.get("delete_files") or []}
+    if _has_positional(base) or not base_dels <= plan_dels:
+        raise CommitConflict(
+            f"delete files committed on {table} between rewrite planning "
+            "and publish; rerun the rewrite against the new base"
+        )
 
 
 def _with_row_provenance(df: DataFrame) -> DataFrame:
@@ -1499,6 +1522,7 @@ def merge_rows(
         base_paths = {f["path"] for f in base["files"]}
         if not touched_rel <= base_paths:
             return None  # concurrent writer dropped a touched file
+        _check_rewrite_base(table, snap0, base)
         files = [f for f in base["files"] if f["path"] not in touched_rel] + new_files
         version = base_version + 1
         snap_out = {
@@ -1601,6 +1625,7 @@ def compact(
         base_paths = {f["path"] for f in base["files"]}
         if not small_set <= base_paths:
             return None  # a concurrent writer dropped some planned file
+        _check_rewrite_base(table, snap, base)
         files = [f for f in base["files"] if f["path"] not in small_set] + new_files
         version = base_version + 1
         snap_out = {
@@ -1662,6 +1687,7 @@ def zorder_table(
 
     if bits * len(cols) > 63:
         raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds 63")
+    base_snap = load_snapshot(table)
     df = read_table(spark, table)
     aggs = []
     for c in cols:
@@ -1686,8 +1712,23 @@ def zorder_table(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+    # maintenance contract (ADVICE r06): like compact, a zorder rewrite
+    # must not strip the table's hidden-partitioning spec or the
+    # streaming replay watermark — a vacuum retaining only post-zorder
+    # snapshots would otherwise void the exactly-once guard
+    extra = {"zorder": list(cols), "zorder_bits": bits}
+    if base_snap.get("stream_batch_id") is not None:
+        extra["stream_batch_id"] = base_snap["stream_batch_id"]
+    partition_by = None
+    if base_snap.get("partition_spec"):
+        partition_by = [
+            (e["col"], e["transform"], e["n"])
+            if e["transform"] == "bucket"
+            else (e["col"], e["transform"])
+            for e in base_snap["partition_spec"]
+        ]
     return write_table(
-        clustered, table, mode="overwrite", extra={"zorder": list(cols), "zorder_bits": bits}
+        clustered, table, mode="overwrite", extra=extra, partition_by=partition_by
     )
 
 
@@ -1765,6 +1806,29 @@ def vacuum(
                 continue  # possibly an in-flight commit's file
             os.unlink(full)
             deleted.append(rel)
+    # side-manifest orphans (ADVICE r06): a crash between writing
+    # m-*.json and the os.link publish leaves an unreferenced side
+    # manifest (and .tmp) in _snapshots/ forever — the data sweep above
+    # only scans data/. Same retained-reference + mtime-grace contract.
+    snap_dir = os.path.join(table, SNAP_DIR)
+    if os.path.isdir(snap_dir):
+        side_refs = set()
+        for v in _list_versions(table):
+            ref = load_snapshot(table, v).get("files_ref")
+            if ref:
+                side_refs.add(ref)
+        for name in sorted(os.listdir(snap_dir)):
+            is_side = name.startswith("m-") and name.endswith(".json")
+            is_tmp = name.startswith(".") and name.endswith(".tmp")
+            if not (is_side or is_tmp) or (is_side and name in side_refs):
+                continue
+            full = os.path.join(snap_dir, name)
+            if not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < orphan_grace_seconds:
+                continue
+            os.unlink(full)
+            deleted.append(os.path.join(SNAP_DIR, name))
     return deleted
 
 
