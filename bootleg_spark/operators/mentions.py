@@ -302,6 +302,51 @@ def extract_mentions_ngram(
     )
 
 
+def extract_mentions_ngram_from_html(
+    df: DataFrame,
+    alias_set_bc,
+    html_col: str = "html",
+    min_alias_len: int = 1,
+    max_alias_len: int = 6,
+) -> DataFrame:
+    """:func:`extract_mentions_ngram` with the boilerplate strip FUSED
+    into the same pandas UDF (guide §4.1: each chained ArrowEvalPython
+    node spawns its own Python worker per task and round-trips the page
+    text through Arrow; the r06 ``mentions_ngram`` plan carried two).
+    One worker, one hop, byte-identical output — ``extract_html_text``
+    is deterministic and is exactly what the staged plan ran first."""
+    from bootleg_spark.functions.textproc import extract_html_text
+
+    @F.pandas_udf(_MENTION_SCHEMA)
+    def _extract(htmls: pd.Series) -> pd.Series:
+        aliases = alias_set_bc.value
+        dict_w = max((len(a.split()) for a in aliases), default=1)
+
+        def one(h):
+            if h is None:
+                return []
+            t = extract_html_text(bytes(h))
+            return [
+                {"alias": a, "char_start": s, "char_end": e}
+                for a, s, e in ngram_extract_aliases(
+                    t, aliases, min_alias_len, max_alias_len, dict_max_words=dict_w
+                )
+            ]
+
+        return htmls.map(one)
+
+    exploded = df.select(
+        "*", F.posexplode(_extract(F.col(html_col))).alias("mention_pos", "_m")
+    )
+    return exploded.select(
+        *df.columns,
+        F.col("mention_pos").cast("int"),
+        F.col("_m.alias").alias("alias"),
+        F.col("_m.char_start").alias("char_start"),
+        F.col("_m.char_end").alias("char_end"),
+    )
+
+
 def extract_mentions_word(
     df: DataFrame,
     alias_df: DataFrame,

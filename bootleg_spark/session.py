@@ -68,7 +68,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def fan_scan(df, min_parallelism: int | None = None):
+def fan_scan(df, min_parallelism: int | None = None, key_cols: tuple = ()):
     """Scale-adaptive scan fan-out (optimization guide §2.5/§6.1).
 
     Parquet split planning is row-group-bound: a small input that is one
@@ -78,16 +78,28 @@ def fan_scan(df, min_parallelism: int | None = None):
     runs on 1-2 of the session's cores. Measured at sf1.0: the
     zero-exchange ``doc_fingerprints`` plan spent 18 s on one core.
 
-    Round-robin repartition to the session's default parallelism ONLY
-    when the scan has fewer partitions than that; at production scale
-    (thousands of files / row groups) the guard makes this a no-op, so
-    nothing here is tuned to the local core count. The exchange this
-    adds moves only the small input once (15 MB at sf1.0) and buys every
-    downstream row operation full parallelism.
+    Repartition to the session's default parallelism ONLY when the scan
+    has fewer partitions than that; at production scale (thousands of
+    files / row groups) the guard makes this a no-op, so nothing here is
+    tuned to the local core count. The exchange this adds moves only the
+    small input once (15 MB at sf1.0) and buys every downstream row
+    operation full parallelism.
+
+    ``key_cols`` (a stable high-cardinality id) selects HASH
+    partitioning, which is projection-independent: a keyless round-robin
+    repartition first sorts each input partition by the row's binary
+    form (spark.sql.execution.sortBeforeRepartition), so two plans
+    projecting different columns of the same scan see different row
+    orders — and a ``limit(n)`` above the fan-out would sample different
+    rows per plan. Hash-by-id also skips that pre-sort.
     """
     sc = df.sparkSession.sparkContext
     target = int(min_parallelism or sc.defaultParallelism)
     if df.rdd.getNumPartitions() < target:
+        if key_cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, *[F.col(c) for c in key_cols])
         return df.repartition(target)
     return df
 

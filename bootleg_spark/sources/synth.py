@@ -35,7 +35,9 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     df = _DOCS_CACHE.get(key)
     if df is None:
-        df = fan_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        df = fan_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), key_cols=("doc_id",)
+        )
         _DOCS_CACHE[key] = df
     return df
 
