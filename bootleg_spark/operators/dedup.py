@@ -243,18 +243,19 @@ def _bucket_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    out = grouped.select(F.explode(pairs).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    # two-level explode, NOT an in-row flatten of all n·(n-1)/2 pair
+    # structs: a single flatten would materialize a hot bucket's whole
+    # quadratic pair array in one allocation (GBs for a 10^5-doc bucket
+    # at production scale), while Generate streams. ids is sorted
+    # ascending and distinct (one row per (id, bucket)), so taking
+    # partners strictly after position i yields exactly the id_a < id_b
+    # combinations.
+    step1 = grouped.select("ids", F.posexplode("ids").alias("_i", "id_a"))
+    out = step1.select(
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
     )
     # distinct=False lets a caller that deduplicates LATER (on a much
     # smaller post-filter set) skip this full-width exchange; the raw
