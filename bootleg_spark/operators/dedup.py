@@ -310,8 +310,15 @@ def minhash_verified_pairs(
     ``reuse_shingles`` is retained for API compatibility; the packed
     plan derives bands, sizes and sets in one in-row projection chain,
     so there is no shingle frame left to persist."""
-    del reuse_shingles  # no multi-scan shingle frame left to reuse
-    dshf = doc_shingle_arrays(docs, shingle_n, text_col, id_col)
+    del reuse_shingles  # no exploded shingle frame left to persist
+    # lazy localCheckpoint: the shingle-array frame feeds BOTH the
+    # band-minima/bucket branch and the packed-set attach branch, and a
+    # DAG-as-tree would evaluate the scan + shingling once per branch.
+    # Checkpoint blocks are GC-cleaned (ContextCleaner), unlike a
+    # persist leak — the same idiom as rel_pattern_apply/bootstrap.
+    dshf = doc_shingle_arrays(docs, shingle_n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     buckets = _band_minima_arrays(dshf, n_bands)
     # distinct deferred: the raw bucket-pair stream repeats a pair only
     # once per extra shared band (×1.045 measured), so verifying the raw
